@@ -1,0 +1,194 @@
+"""Synthetic scene generation for tests and benchmarks.
+
+The reference repo ships no test data (SURVEY.md section 4: hpmvs has no
+first-party tests), and this sandbox has no network access to fetch Tsukuba /
+Strecha scenes, so we build fully-determined synthetic scenes: a textured
+plane (optionally several) observed by an arc of pinhole cameras that follow
+the NVM camera convention (principal point at image center, single focal).
+Ground-truth geometry is known, so reconstruction accuracy is measurable
+exactly -- distance of every output patch to the true surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from hpmvs_tpu.io import nvm as nvm_io
+
+
+def _rot_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (w, x, y, z)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k]) * 2
+        q = np.zeros(4)
+        q[1 + i] = 0.25 * s
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+        w, x, y, z = q
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
+def _lookat(eye: np.ndarray, target: np.ndarray, up=(0.0, 1.0, 0.0)):
+    """World->camera rotation with +z forward (pinhole convention)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, dtype=np.float64))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)
+    return R
+
+
+def smooth_texture(rng: np.random.Generator, size: int, cells: int = 24) -> np.ndarray:
+    """Smooth random RGB texture in [0,255]: bilinear upsample of a coarse grid."""
+    grid = rng.uniform(30, 225, size=(cells + 1, cells + 1, 3))
+    u = np.linspace(0, cells, size)
+    iu = np.minimum(u.astype(np.int64), cells - 1)
+    fu = u - iu
+    rows = (grid[iu] * (1 - fu)[:, None, None] + grid[iu + 1] * fu[:, None, None])
+    cols = (rows[:, iu] * (1 - fu)[None, :, None] + rows[:, iu + 1] * fu[None, :, None])
+    return cols
+
+
+@dataclasses.dataclass
+class PlaneScene:
+    model: nvm_io.NvmModel
+    images: List[np.ndarray]      # (H, W, 3) uint8 per camera
+    plane_z: float                # ground-truth plane z = const
+    extent: float                 # plane spans [-extent, extent]^2 in x,y
+    f: float
+    imgsize: int
+
+
+def make_plane_scene(
+    n_cams: int = 7,
+    imgsize: int = 512,
+    n_points: int = 400,
+    extent: float = 1.0,
+    cam_dist: float = 3.5,
+    arc_deg: float = 55.0,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    plane_z: float = 0.0,
+) -> PlaneScene:
+    """Textured plane z=plane_z seen from an arc of cameras above it (-z side).
+
+    Cameras sit at distance cam_dist on an arc, all looking at the origin.
+    Every image is an exact pinhole rendering of the plane texture, so NCC
+    across views is consistent by construction.
+    """
+    rng = np.random.default_rng(seed)
+    f = imgsize * 1.2
+    tex_size = 2048
+    tex = smooth_texture(rng, tex_size)
+
+    def tex_at(x, y):
+        # world (x, y) -> texture pixel, bilinear
+        u = (x / extent * 0.5 + 0.5) * (tex_size - 1)
+        v = (y / extent * 0.5 + 0.5) * (tex_size - 1)
+        u = np.clip(u, 0, tex_size - 1.001)
+        v = np.clip(v, 0, tex_size - 1.001)
+        iu, iv = u.astype(np.int64), v.astype(np.int64)
+        fu, fv = (u - iu)[..., None], (v - iv)[..., None]
+        return (tex[iv, iu] * (1 - fu) * (1 - fv) + tex[iv, iu + 1] * fu * (1 - fv)
+                + tex[iv + 1, iu] * (1 - fu) * fv + tex[iv + 1, iu + 1] * fu * fv)
+
+    cameras, images = [], []
+    angles = np.linspace(-np.deg2rad(arc_deg) / 2, np.deg2rad(arc_deg) / 2, n_cams)
+    for ci, a in enumerate(angles):
+        eye = np.array([cam_dist * np.sin(a), 0.4 * np.sin(2.3 * a),
+                        plane_z - cam_dist * np.cos(a)])
+        R = _lookat(eye, np.array([0.0, 0.0, plane_z]))
+        q = _rot_to_quat(R)
+
+        # render: pixel (u,v) -> ray -> intersect plane z=plane_z
+        uu, vv = np.meshgrid(np.arange(imgsize), np.arange(imgsize))
+        d_cam = np.stack([(uu - imgsize / 2.0) / f,
+                          (vv - imgsize / 2.0) / f,
+                          np.ones_like(uu, dtype=np.float64)], axis=-1)
+        d_world = d_cam @ R  # R^T @ d per pixel
+        t = (plane_z - eye[2]) / d_world[..., 2]
+        px = eye[0] + t * d_world[..., 0]
+        py = eye[1] + t * d_world[..., 1]
+        img = np.clip(tex_at(px, py) + 0.5, 0, 255).astype(np.uint8)
+        # pixels whose ray misses the textured region -> dark falloff
+        outside = (np.abs(px) > extent) | (np.abs(py) > extent) | (t <= 0)
+        img[outside] = 8
+
+        name = f"cam{ci:02d}.png"
+        if out_dir is not None:
+            from PIL import Image as PILImage
+            os.makedirs(out_dir, exist_ok=True)
+            name = os.path.join(out_dir, name)
+            PILImage.fromarray(img).save(name)
+        cameras.append(nvm_io.NvmCamera(filename=name, f=f, rq=q,
+                                        c=eye.copy(), r=0.0))
+        images.append(img)
+
+    # SfM points: random points on the plane, measured in all viewing cameras
+    pts = np.zeros((n_points, 3))
+    pts[:, 0] = rng.uniform(-0.8 * extent, 0.8 * extent, n_points)
+    pts[:, 1] = rng.uniform(-0.8 * extent, 0.8 * extent, n_points)
+    pts[:, 2] = plane_z
+    # slight SfM noise along z
+    pts[:, 2] += rng.normal(0, 0.002, n_points)
+
+    rgb = np.zeros((n_points, 3))
+    m_img, m_feat, m_xy = [], [], []
+    starts = np.zeros(n_points + 1, dtype=np.int64)
+    for ii in range(n_points):
+        cnt = 0
+        for ci, cam in enumerate(cameras):
+            R = _quatR(cam.rq)
+            pc = R @ (pts[ii] - cam.c)
+            if pc[2] <= 0:
+                continue
+            u = f * pc[0] / pc[2] + imgsize / 2.0
+            v = f * pc[1] / pc[2] + imgsize / 2.0
+            if 10 <= u < imgsize - 10 and 10 <= v < imgsize - 10:
+                m_img.append(ci)
+                m_feat.append(ii)
+                m_xy.append((u - imgsize / 2.0, v - imgsize / 2.0))
+                cnt += 1
+        starts[ii + 1] = starts[ii] + cnt
+        rgb[ii] = tex_at(np.array([pts[ii, 0]]), np.array([pts[ii, 1]]))[0]
+
+    model = nvm_io.NvmModel(
+        cameras=cameras, points_xyz=pts, points_rgb=rgb, meas_start=starts,
+        meas_img=np.asarray(m_img, dtype=np.int32),
+        meas_feat=np.asarray(m_feat, dtype=np.int32),
+        meas_xy=(np.asarray(m_xy, dtype=np.float64).reshape(-1, 2)
+                 if m_xy else np.zeros((0, 2))))
+    return PlaneScene(model=model, images=images, plane_z=plane_z,
+                      extent=extent, f=f, imgsize=imgsize)
+
+
+def _quatR(q):
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def scene_image_pack(scene: PlaneScene, n_levels: int):
+    """Build the packed pyramid directly from in-memory rendered images."""
+    from hpmvs_tpu.image import pyramid as pyr
+    pyramids = [pyr.build_pyramid(img, n_levels) for img in scene.images]
+    return pyr.pack_pyramids(pyramids)

@@ -1,0 +1,33 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated on CPU via
+--xla_force_host_platform_device_count (the JAX-idiomatic fake backend for
+distributed tests, SURVEY.md section 4); bench.py runs on the real TPU.
+
+Note: this sandbox pre-imports jax with JAX_PLATFORMS=axon (TPU tunnel) from
+sitecustomize, so the env var is already consumed -- we must switch platforms
+via jax.config.update instead.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def plane_scene():
+    from hpmvs_tpu.testing import make_plane_scene
+    return make_plane_scene(n_cams=7, imgsize=512, n_points=200, seed=0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
