@@ -1,0 +1,431 @@
+"""Batched patch optimizer: the TPU replacement for PatchOptimizer + nlopt.
+
+Behavioral equivalent of the reference per-patch pipeline
+(src/hpmvs/PatchOptimizer.cpp:48-103 runOptimization/optimize):
+
+    addImages -> filterImagesNCC(a1) -> sortImages -> assureImageAngles ->
+    optimizePatch(BOBYQA) -> addImages -> filterImagesNCC(a2) ->
+    filterImagesByAngle -> assureImageAngles -> setRefImage ->
+    filterImagesNCC(a2) -> getColor
+
+TPU-first inversion (SURVEY.md section 7 / BASELINE.json north star): instead
+of one nlopt BOBYQA solve per patch, thousands of patches are refined
+simultaneously by a damped-Newton (Levenberg) loop over the same 3-parameter
+space -- depth along the reference ray + two normal angles at
+angleScale = pi/48 (PatchOptimizer.cpp:384-446) -- with gradient and 3x3
+Hessian obtained by automatic differentiation through the NCC sampler.
+View lists are fixed-size slot arrays (MAX_VIEWS) with -1 padding; every
+filter stage is a masked compaction, every selection loop a fixed-trip
+lax.fori_loop, so the whole pipeline jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.geom import camera as cam_ops
+from hpmvs_tpu.ops import sampling
+
+INVALID = -1
+BIG = 1e9
+
+
+class SceneCtx(NamedTuple):
+    """Device-side immutable scene context shared by all patch batches."""
+    cams: object          # camera.Cameras
+    imgs: object          # pyramid.ImagePack (jnp arrays)
+    covis: jnp.ndarray    # (ncam, C) int32, -1 padded covisible image ids
+    ncovis: jnp.ndarray   # (ncam,) int32
+
+
+class PatchBatch(NamedTuple):
+    """Structure-of-arrays batch of surface patches (Patch3d equivalent)."""
+    center: jnp.ndarray   # (B, 3)
+    normal: jnp.ndarray   # (B, 3) unit
+    scale: jnp.ndarray    # (B,)
+    views: jnp.ndarray    # (B, K) int32, slot 0 = reference image
+    ok: jnp.ndarray       # (B,) bool
+
+
+def _nviews(views):
+    return jnp.sum(views >= 0, axis=-1)
+
+
+def _compact(values, valid):
+    """Stable compaction: keep `valid` slots in order, pad with -1."""
+    k = values.shape[-1]
+    order = jnp.argsort(jnp.logical_not(valid), axis=-1, stable=True)
+    vals = jnp.take_along_axis(values, order, axis=-1)
+    count = jnp.sum(valid, axis=-1)
+    idx = jnp.arange(k)
+    return jnp.where(idx < count[..., None], vals, INVALID)
+
+
+# ---------------------------------------------------------------------------
+# Single-patch stages (vmapped over the batch by optimize_batch).
+# ---------------------------------------------------------------------------
+
+def _sample_views(ctx, opt: Options, views, center, scale, xax, yax, zax):
+    """Sample the 7x7 texture in every view slot. Returns (tex (K,49,3),
+    valid (K,))."""
+    ci = jnp.maximum(views, 0)
+    tex, valid = sampling.sample_texture(
+        ctx.cams, ctx.imgs, ci, jnp.broadcast_to(center, ci.shape + (3,)),
+        jnp.broadcast_to(scale, ci.shape), jnp.broadcast_to(xax, ci.shape + (3,)),
+        jnp.broadcast_to(yax, ci.shape + (3,)),
+        jnp.broadcast_to(zax, ci.shape + (3,)),
+        jnp.cos(opt.MAX_ANGLE), opt.MAXLEVEL - 1)
+    return tex, valid & (views >= 0)
+
+
+def _set_inccs(ctx, opt: Options, views, center, normal, scale, ref_slot,
+               robust: bool):
+    """PatchOptimizer::setINCCs (PatchOptimizer.cpp:448-474): per-slot
+    1 - NCC against the texture of slot `ref_slot` (0 for that slot,
+    2 for failed samples)."""
+    ref_ci = jnp.maximum(views[ref_slot], 0)
+    xax, yax, zax = sampling.patch_axes(ctx.cams, ref_ci, normal, scale)
+    # the reference passes pNormal_ as the sampling z-axis here
+    nz = sampling.normalize3(normal)
+    tex, valid = _sample_views(ctx, opt, views, center, scale, xax, yax, nz)
+    ref_tex = tex[ref_slot]
+    ref_ok = valid[ref_slot]
+    vals = 1.0 - sampling.ncc(ref_tex[None], tex)
+    if robust:
+        vals = sampling.robust_incc(vals)
+    k = views.shape[0]
+    vals = jnp.where(valid & ref_ok, vals, 2.0)
+    vals = jnp.where(jnp.arange(k) == ref_slot, jnp.where(ref_ok, 0.0, 2.0),
+                     vals)
+    return vals
+
+
+def _add_images(ctx, opt: Options, center, normal, scale, views):
+    """PatchOptimizer::addImages (PatchOptimizer.cpp:225-258): grow the view
+    list with covisible images of the reference passing angle / level /
+    in-bounds gates."""
+    ref_valid = views[0] >= 0  # addImages fails on an empty list (:227)
+    ref = jnp.maximum(views[0], 0)
+    cand = ctx.covis[ref]                                   # (C,)
+    cand_ci = jnp.maximum(cand, 0)
+    cand_valid = (cand >= 0) & ref_valid
+
+    present = jnp.any(cand[:, None] == views[None, :], axis=-1)
+
+    ray = sampling.normalize3(ctx.cams.center[cand_ci] - center[None])
+    angle_ok = jnp.sum(ray * sampling.normalize3(normal)[None], axis=-1) \
+        >= jnp.cos(opt.MAX_ANGLE)
+
+    lvl = jnp.round(cam_ops.get_level(ctx.cams, cand_ci,
+                                      jnp.broadcast_to(center, cand_ci.shape + (3,)),
+                                      scale)).astype(jnp.int32)
+    lvl_ok = (lvl >= opt.MINLEVEL) & (lvl < opt.MAXLEVEL - 2)
+    lvl_c = jnp.clip(lvl, 0, opt.MAXLEVEL)
+
+    uvw = cam_ops.project(ctx.cams, cand_ci,
+                          jnp.broadcast_to(center, cand_ci.shape + (3,)), lvl_c)
+    w = ctx.imgs.width[cand_ci, lvl_c].astype(uvw.dtype)
+    h = ctx.imgs.height[cand_ci, lvl_c].astype(uvw.dtype)
+    inb = ((uvw[:, 0] >= 0.0) & (uvw[:, 0] < w - 1)
+           & (uvw[:, 1] >= 0.0) & (uvw[:, 1] < h - 1))
+
+    accept = cand_valid & ~present & angle_ok & lvl_ok & inb
+    ext_vals = jnp.concatenate([views, jnp.where(accept, cand, INVALID)])
+    ext_valid = jnp.concatenate([views >= 0, accept])
+    k = views.shape[0]
+    new_views = _compact(ext_vals, ext_valid)[:k]
+    ok = ref_valid & (_nviews(new_views) >= opt.MIN_IMAGES_PER_PATCH)
+    return new_views, ok
+
+
+def _filter_ncc(ctx, opt: Options, center, normal, scale, views, alpha):
+    """PatchOptimizer::filterImagesNCC (PatchOptimizer.cpp:138-152)."""
+    inccs = _set_inccs(ctx, opt, views, center, normal, scale, 0, robust=False)
+    keep = (views >= 0) & (inccs < 1.0 - alpha)
+    keep = keep.at[0].set(views[0] >= 0)  # always keep the reference
+    new_views = _compact(views, keep)
+    ok = _nviews(new_views) >= opt.MIN_IMAGES_PER_PATCH
+    return new_views, ok
+
+
+def _sort_images(ctx, opt: Options, center, normal, scale, views):
+    """PatchOptimizer::sortImages (PatchOptimizer.cpp:183-223): greedy
+    angle-weighted-scale ordering with 5-degree ray suppression."""
+    k = views.shape[0]
+    valid = views >= 0
+    ci = jnp.maximum(views, 0)
+
+    # getAngleWeightedScales (PatchOptimizer.cpp:260-284)
+    ref_level = jnp.clip(
+        jnp.round(cam_ops.get_level(ctx.cams, ci[0], center, scale)),
+        0, opt.MAXLEVEL - 1).astype(jnp.int32)
+    rays = sampling.normalize3(ctx.cams.center[ci] - center[None])
+    cosa = jnp.sum(rays * sampling.normalize3(normal)[None], axis=-1)
+    cand = valid & (cosa > 0)
+    wscale = cam_ops.get_scale(ctx.cams, ci,
+                               jnp.broadcast_to(center, ci.shape + (3,)),
+                               ref_level) / jnp.where(cosa > 0, cosa, 1.0)
+
+    # compact candidates, then pin the first kept entry (the reference image
+    # slot after compaction) with weight 0 -- wScales[0] = 0 in the reference
+    order = jnp.argsort(jnp.logical_not(cand), stable=True)
+    c_views = jnp.where(jnp.arange(k) < jnp.sum(cand), views[order], INVALID)
+    c_w = wscale[order]
+    c_rays = rays[order]
+    c_valid = c_views >= 0
+    c_w = c_w.at[0].set(0.0)
+    c_w = jnp.where(c_valid, c_w, BIG)
+
+    threshold = 1.0 - jnp.cos(opt.SORT_SUPPRESS_DEG * jnp.pi / 180.0)
+
+    def body(i, state):
+        w, out = state
+        pick = jnp.argmin(w)
+        out = out.at[i].set(jnp.where(w[pick] < BIG, c_views[pick], INVALID))
+        # suppression reweighting of remaining entries
+        ftmp = jnp.clip(1.0 - jnp.sum(c_rays[pick][None] * c_rays, axis=-1),
+                        threshold / 2.0, threshold)
+        w = w * (threshold / ftmp)
+        w = w.at[pick].set(BIG)
+        return w, out
+
+    out0 = jnp.full((k,), INVALID, dtype=views.dtype)
+    _, sorted_views = jax.lax.fori_loop(0, k, body, (c_w, out0))
+    ok = (_nviews(sorted_views) >= opt.MIN_IMAGES_PER_PATCH) \
+        & (jnp.sum(cand) >= 2)
+    return sorted_views, ok
+
+
+def _assure_angles(ctx, opt: Options, center, views):
+    """PatchOptimizer::assureImageAngles (PatchOptimizer.cpp:105-123): some
+    view pair must subtend an angle in (MIN_ANGLE, MAX_ANGLE)."""
+    ci = jnp.maximum(views, 0)
+    rays = sampling.normalize3(ctx.cams.center[ci] - center[None])
+    dots = jnp.clip(rays @ rays.T, -1.0, 1.0)
+    ang = jnp.arccos(dots)
+    valid = views >= 0
+    pair = valid[:, None] & valid[None, :] \
+        & ~jnp.eye(views.shape[0], dtype=bool)
+    good = pair & (ang > opt.MIN_ANGLE) & (ang < opt.MAX_ANGLE)
+    return jnp.any(good)
+
+
+def _filter_by_angle(ctx, opt: Options, center, normal, views):
+    """PatchOptimizer::filterImagesByAngle (PatchOptimizer.cpp:125-136)."""
+    ci = jnp.maximum(views, 0)
+    rays = sampling.normalize3(ctx.cams.center[ci] - center[None])
+    keep = (views >= 0) & (jnp.sum(rays * normal[None], axis=-1)
+                           > jnp.cos(opt.MAX_ANGLE))
+    new_views = _compact(views, keep)
+    ok = _nviews(new_views) >= opt.MIN_IMAGES_PER_PATCH
+    return new_views, ok
+
+
+def _set_ref_image(ctx, opt: Options, center, normal, scale, views):
+    """PatchOptimizer::setRefImage (PatchOptimizer.cpp:154-181): pick the
+    view minimizing the summed robust incc against all others; swap to
+    slot 0."""
+    k = views.shape[0]
+    valid = views >= 0
+
+    def sum_for(slot):
+        inccs = _set_inccs(ctx, opt, views, center, normal, scale, slot,
+                           robust=True)
+        return jnp.sum(jnp.where(valid, inccs, 0.0))
+
+    sums = jax.vmap(sum_for)(jnp.arange(k))
+    sums = jnp.where(valid, sums, BIG)
+    best = jnp.argmin(sums)
+    # swap slot `best` with slot 0
+    v0 = views[0]
+    vb = views[best]
+    new_views = views.at[0].set(vb).at[best].set(v0)
+    return jnp.where(_nviews(views) <= 1, views, new_views)
+
+
+# ---------------------------------------------------------------------------
+# The NCC objective + damped-Newton refinement (replaces nlopt BOBYQA).
+# ---------------------------------------------------------------------------
+
+def _objective(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
+               scale, views):
+    """PatchOptimizer::objective_fn via setCenterNorm
+    (PatchOptimizer.cpp:286-311, 401-414). x = (depth, angle1, angle2)."""
+    center = ref_center + x[0] * ref_ray
+    a1 = x[1] * opt.ANGLE_SCALE
+    a2 = x[2] * opt.ANGLE_SCALE
+    fx = jnp.sin(a1) * jnp.cos(a2)
+    fy = jnp.sin(a2)
+    fz = -jnp.cos(a1) * jnp.cos(a2)
+    normal = ax_x * fx + ax_y * fy + ax_z * fz
+
+    ref_ci = jnp.maximum(views[0], 0)
+    xax, yax, zax = sampling.patch_axes(ctx.cams, ref_ci, normal, scale)
+    tex, valid = _sample_views(ctx, opt, views, center, scale, xax, yax, zax)
+    ref_tex = tex[0]
+    ref_ok = valid[0]
+
+    others = valid & (jnp.arange(views.shape[0]) > 0)
+    incc = sampling.robust_incc(1.0 - sampling.ncc(ref_tex[None], tex))
+    total = jnp.sum(jnp.where(others, incc, 0.0))
+    n = jnp.sum(others)
+    mean = total / jnp.maximum(n, 1)
+    return jnp.where(ref_ok & (n >= opt.MIN_IMAGES_PER_PATCH - 1), mean, 2.0)
+
+
+def _params_from_center_norm(center, normal, ref_center, ref_ray,
+                             ax_x, ax_y, ax_z, opt: Options):
+    """PatchOptimizer::parametersFromCenterNorm (PatchOptimizer.cpp:416-446)."""
+    x0 = jnp.dot(center - ref_center, ref_ray)
+    fx = jnp.dot(ax_x, normal)
+    fy = jnp.dot(ax_y, normal)
+    fz = jnp.dot(ax_z, normal)
+    x2 = jnp.arcsin(jnp.clip(fy, -1.0, 1.0))
+    cosb = jnp.cos(x2)
+    safe = cosb != 0.0
+    sina = fx / jnp.where(safe, cosb, 1.0)
+    cosa = -fz / jnp.where(safe, cosb, 1.0)
+    x1 = jnp.arccos(jnp.clip(cosa, -1.0, 1.0))
+    x1 = jnp.where(sina < 0.0, -x1, x1)
+    x1 = jnp.where(safe, x1, 0.0)
+    b = opt.ANGLE_BOUND
+    return jnp.stack([x0,
+                      jnp.clip(x1 / opt.ANGLE_SCALE, -b, b),
+                      jnp.clip(x2 / opt.ANGLE_SCALE, -b, b)])
+
+
+def _optimize_patch(ctx, opt: Options, center, normal, scale, views):
+    """Damped-Newton refinement of (depth, angle1, angle2), replacing the
+    BOBYQA call in PatchOptimizer::optimizePatch (PatchOptimizer.cpp:322-382).
+
+    Gradient + 3x3 Hessian by autodiff through the sampler; Levenberg damping
+    with accept/reject keeps it robust where the objective is only piecewise
+    smooth (bilinear kinks, validity-mask boundaries)."""
+    ref_ci = jnp.maximum(views[0], 0)
+    ref_center = center
+    ref_ray = sampling.normalize3(center - ctx.cams.center[ref_ci])
+    ax_x = sampling.normalize3(ctx.cams.xaxis[ref_ci])
+    ax_y = sampling.normalize3(ctx.cams.yaxis[ref_ci])
+    ax_z = sampling.normalize3(ctx.cams.zaxis[ref_ci])
+
+    fn = functools.partial(_objective, ctx, opt, ref_center=ref_center,
+                           ref_ray=ref_ray, ax_x=ax_x, ax_y=ax_y, ax_z=ax_z,
+                           scale=scale, views=views)
+    grad_fn = jax.value_and_grad(lambda x: fn(x))
+    hess_fn = jax.jacfwd(jax.grad(lambda x: fn(x)))
+
+    b = opt.ANGLE_BOUND
+    lo = jnp.asarray([-BIG, -b, -b])
+    hi = jnp.asarray([BIG, b, b])
+    x0 = _params_from_center_norm(center, normal, ref_center, ref_ray,
+                                  ax_x, ax_y, ax_z, opt)
+
+    def body(_, state):
+        x, f, lam = state
+        _, g = grad_fn(x)
+        H = hess_fn(x)
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.abs(jnp.diag(H)), 1e-6))
+        step = -jnp.linalg.solve(Hd, g)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        x_new = jnp.clip(x + step, lo, hi)
+        f_new = fn(x_new)
+        accept = f_new < f
+        x = jnp.where(accept, x_new, x)
+        f = jnp.where(accept, f_new, f)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-7, 1e7)
+        return x, f, lam
+
+    f0 = fn(x0)
+    x, f, _ = jax.lax.fori_loop(0, opt.LM_ITERS, body,
+                                (x0, f0, jnp.asarray(opt.LM_LAMBDA0)))
+
+    # setCenterNorm(x) write-back (PatchOptimizer.cpp:401-414)
+    new_center = ref_center + x[0] * ref_ray
+    a1 = x[1] * opt.ANGLE_SCALE
+    a2 = x[2] * opt.ANGLE_SCALE
+    new_normal = (ax_x * (jnp.sin(a1) * jnp.cos(a2)) + ax_y * jnp.sin(a2)
+                  + ax_z * (-jnp.cos(a1) * jnp.cos(a2)))
+    ok = _nviews(views) >= opt.MIN_IMAGES_PER_PATCH
+    return new_center, new_normal, ok, f
+
+
+def _get_color(ctx, opt: Options, center, scale, views):
+    """Scene::getColor (Scene.cpp:300-327): median-by-norm over views with
+    the white-pixel (sky) special case."""
+    k = views.shape[0]
+    ci = jnp.maximum(views, 0)
+    valid = views >= 0
+    nlev = ctx.cams.n_levels - 1
+    lvl = cam_ops.get_leveli(ctx.cams, ci,
+                             jnp.broadcast_to(center, ci.shape + (3,)),
+                             jnp.broadcast_to(scale, ci.shape), nlev)
+    uvw = cam_ops.project(ctx.cams, ci,
+                          jnp.broadcast_to(center, ci.shape + (3,)), lvl)
+    w = ctx.imgs.width[ci, lvl].astype(uvw.dtype)
+    h = ctx.imgs.height[ci, lvl].astype(uvw.dtype)
+    gx = jnp.clip(uvw[:, 0], 0.0, jnp.maximum(w - 2.0, 0.0))
+    gy = jnp.clip(uvw[:, 1], 0.0, jnp.maximum(h - 2.0, 0.0))
+    cols = sampling.bilinear(ctx.imgs.tex, ctx.imgs.offset, ctx.imgs.width,
+                             ci, lvl, gx, gy)              # (K, 3)
+    norms = jnp.where(valid, jnp.linalg.norm(cols, axis=-1), BIG)
+    order = jnp.argsort(norms)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    med = cols[order[n // 2]]
+    first = cols[order[0]]
+    return jnp.where(jnp.linalg.norm(med) > 250.0, first, med)
+
+
+def _run_one(ctx, opt: Options, center, normal, scale, views):
+    """Full runOptimization + write-back for a single patch (all slots static).
+
+    Failures do not early-out (everything is traced); the `ok` flag accumulates
+    every stage's success exactly as the reference's early returns would."""
+    normal = sampling.normalize3(normal)
+    views, ok = _add_images(ctx, opt, center, normal, scale, views)
+    views, ok1 = _filter_ncc(ctx, opt, center, normal, scale, views,
+                             opt.NCC_ALPHA_1)
+    ok &= ok1
+    views, ok2 = _sort_images(ctx, opt, center, normal, scale, views)
+    ok &= ok2
+    ok &= _assure_angles(ctx, opt, center, views)
+
+    new_center, new_normal, ok3, resid = _optimize_patch(
+        ctx, opt, center, normal, scale, views)
+    ok &= ok3
+    center = jnp.where(ok, new_center, center)
+    normal = jnp.where(ok, sampling.normalize3(new_normal), normal)
+
+    views, ok4 = _add_images(ctx, opt, center, normal, scale, views)
+    ok &= ok4
+    views, ok5 = _filter_ncc(ctx, opt, center, normal, scale, views,
+                             opt.NCC_ALPHA_2)
+    ok &= ok5
+    views, ok6 = _filter_by_angle(ctx, opt, center, normal, views)
+    ok &= ok6
+    ok &= _assure_angles(ctx, opt, center, views)
+    views = _set_ref_image(ctx, opt, center, normal, scale, views)
+    views, ok7 = _filter_ncc(ctx, opt, center, normal, scale, views,
+                             opt.NCC_ALPHA_2)
+    ok &= ok7
+
+    color = _get_color(ctx, opt, center, scale, views)
+    return center, normal, scale, views, ok, color, resid
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def optimize_batch(ctx: SceneCtx, opt: Options, center, normal, scale, views):
+    """Optimize B patches in one shot.
+
+    center (B,3), normal (B,3), scale (B,), views (B,K) int32 -1-padded.
+    Returns (center, normal, scale, views, ok, color, resid) batched.
+    This one call is the moral equivalent of B sequential
+    PatchOptimizer::optimize invocations in the reference.
+    """
+    run = functools.partial(_run_one, ctx, opt)
+    return jax.vmap(run)(center, normal, scale, views)

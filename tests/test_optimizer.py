@@ -1,0 +1,100 @@
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.core import scene as scene_mod
+from hpmvs_tpu.ops import optimizer as popt
+
+
+@pytest.fixture(scope="module")
+def built(plane_scene):
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=30)
+    scene = scene_mod.build_scene(plane_scene.model, opt,
+                                  images=plane_scene.images)
+    return scene, opt
+
+
+def test_covisibility(plane_scene, built):
+    scene, opt = built
+    # all cameras see the same plane and share all points -> fully covisible
+    for ci in range(scene.n_cameras):
+        row = scene.covis_np[ci][scene.covis_np[ci] >= 0]
+        assert len(row) == scene.n_cameras - 1
+        assert ci not in row
+
+
+def test_seed_creation(plane_scene, built):
+    scene, opt = built
+    c, n, s, v, orig = scene_mod.make_seed_patches(plane_scene.model, scene, opt)
+    assert c.shape[0] > 150  # most of the 200 points seed
+    # normals point at the first camera
+    ray = np.asarray(scene.ctx.cams.center)[v[:, 0]] - c
+    ray /= np.linalg.norm(ray, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.sum(ray * n, axis=1), 1.0, atol=1e-5)
+    assert np.all(s > 0)
+
+
+def test_optimize_batch_converges_to_plane(plane_scene, built):
+    """Perturbed seeds must be pulled back onto the true surface by the
+    batched damped-Newton NCC refinement (replaces BOBYQA,
+    PatchOptimizer.cpp:322-382)."""
+    scene, opt = built
+    c, n, s, v, orig = scene_mod.make_seed_patches(plane_scene.model, scene, opt)
+    B = min(64, c.shape[0])
+    rng = np.random.default_rng(0)
+    c = c[:B].copy()
+    n, s, v = n[:B], s[:B], v[:B]
+    # push the seeds off the plane along z by up to ~1.5 pixels footprint
+    dz = rng.uniform(-1.0, 1.0, B) * s * 1.5
+    c[:, 2] += dz
+
+    out_c, out_n, out_s, out_v, ok, color, resid = popt.optimize_batch(
+        scene.ctx, opt, jnp.asarray(c), jnp.asarray(n), jnp.asarray(s),
+        jnp.asarray(v))
+    out_c = np.asarray(out_c)
+    ok = np.asarray(ok)
+    assert ok.sum() >= B * 0.7, f"only {ok.sum()}/{B} patches survived"
+
+    err_before = np.abs(c[ok, 2] - plane_scene.plane_z)
+    err_after = np.abs(out_c[ok, 2] - plane_scene.plane_z)
+    # surviving patches land much closer to the plane than the perturbation
+    assert np.median(err_after) < 0.25 * np.median(err_before)
+    assert np.median(err_after) < 0.02
+
+    # normals re-align with the plane normal (-z toward cameras)
+    out_n = np.asarray(out_n)[ok]
+    cosang = -out_n[:, 2] / np.linalg.norm(out_n, axis=1)
+    assert np.median(cosang) > 0.95
+
+    # residual objective is small on the true surface
+    assert float(np.median(np.asarray(resid)[ok])) < 0.05
+
+    # colors match the texture (valid RGB range, not all zero)
+    color = np.asarray(color)[ok]
+    assert np.all(color >= 0) and np.all(color <= 255)
+    assert color.std() > 5
+
+
+def test_optimize_batch_rejects_garbage(plane_scene, built):
+    """Patches far off-surface with inconsistent texture must fail the NCC
+    filter chain."""
+    scene, opt = built
+    c, n, s, v, orig = scene_mod.make_seed_patches(plane_scene.model, scene, opt)
+    B = 16
+    c = c[:B].copy()
+    c[:, 2] += 0.8  # way off the plane (80% of extent)
+    out = popt.optimize_batch(scene.ctx, opt, jnp.asarray(c),
+                              jnp.asarray(n[:B]), jnp.asarray(s[:B]),
+                              jnp.asarray(v[:B]))
+    ok = np.asarray(out[4])
+    out_c = np.asarray(out[0])
+    # either rejected, or the optimizer genuinely recovered the surface;
+    # the NCC chain alone (like the reference's) lets the occasional
+    # accidental correlation through -- those die later in depth tests /
+    # regularization, so only the *rate* is asserted here
+    recovered = np.abs(out_c[:, 2] - plane_scene.plane_z) < 0.05
+    assert np.mean(~ok | recovered) >= 0.8
