@@ -1,0 +1,129 @@
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.core import depth as depth_mod
+from hpmvs_tpu.core import scene as scene_mod
+
+
+@pytest.fixture(scope="module")
+def built(plane_scene):
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=30)
+    scene = scene_mod.build_scene(plane_scene.model, opt,
+                                  images=plane_scene.images)
+    pack = depth_mod.build_depth_pack(np.asarray(scene.ctx.imgs.width),
+                                      np.asarray(scene.ctx.imgs.height))
+    c, n, s, v, _ = scene_mod.make_seed_patches(plane_scene.model, scene, opt)
+    return scene, opt, pack, (c, n, s, v)
+
+
+def test_set_and_subtract_depths(built):
+    scene, opt, pack, (c, n, s, v) = built
+    cams = scene.ctx.cams
+    B = 32
+    args = (jnp.asarray(c[:B]), jnp.asarray(s[:B]), jnp.asarray(v[:B]))
+    p1 = depth_mod.set_depths(pack, cams, *args)
+    d1 = np.asarray(p1.depth)
+    assert (d1 < depth_mod.MAX_DEPTH).sum() > 0
+    # adding the same patches again changes nothing (min is idempotent)
+    p2 = depth_mod.set_depths(p1, cams, *args)
+    np.testing.assert_array_equal(np.asarray(p2.depth), d1)
+    # subtracting restores the empty buffer
+    p3 = depth_mod.set_depths(p2, cams, *args, subtract=True)
+    d3 = np.asarray(p3.depth)
+    np.testing.assert_array_equal(d3, np.full_like(d3, depth_mod.MAX_DEPTH))
+
+
+def test_subtract_keeps_closer_surface(built):
+    """subtract only clears cells that still hold exactly this depth
+    (Scene.cpp:371-373)."""
+    scene, opt, pack, (c, n, s, v) = built
+    cams = scene.ctx.cams
+    near = (jnp.asarray(c[:8]), jnp.asarray(s[:8]), jnp.asarray(v[:8]))
+    # a second surface 0.3 closer to the cameras (smaller depth wins the min)
+    c_far = c[:8].copy()
+    c_far[:, 2] -= 0.3  # toward cameras (cameras sit at z < 0)
+    far = (jnp.asarray(c_far), jnp.asarray(s[:8]), jnp.asarray(v[:8]))
+
+    p = depth_mod.set_depths(pack, cams, *far)
+    p = depth_mod.set_depths(p, cams, *near)
+    d_before = np.asarray(p.depth)
+    # subtracting the farther (occluded) surface must NOT clear the closer one
+    p = depth_mod.set_depths(p, cams, *near, subtract=True)
+    d_after = np.asarray(p.depth)
+    cleared = (d_before < depth_mod.MAX_DEPTH) & (d_after == depth_mod.MAX_DEPTH)
+    kept = (d_before < depth_mod.MAX_DEPTH) & (d_after == d_before)
+    assert kept.sum() > 0  # closer surface cells survive
+
+
+def test_depth_and_pixel_free_tests(built):
+    scene, opt, pack, (c, n, s, v) = built
+    cams, imgs = scene.ctx.cams, scene.ctx.imgs
+    B = 48
+    cc, nn, ss, vv = (jnp.asarray(c[:B]), jnp.asarray(n[:B]),
+                      jnp.asarray(s[:B]), jnp.asarray(v[:B]))
+
+    # empty buffers: depth test passes trivially, all pixels free
+    dt0 = np.asarray(depth_mod.depth_tests(pack, cams, imgs, opt, cc, nn, ss,
+                                           vv, opt.DEPTH_TEST_FACTOR))
+    nv = (v[:B] >= 0).sum(1)
+    np.testing.assert_array_equal(dt0, nv)
+    pf0 = np.asarray(depth_mod.pixel_free_tests(pack, cams, imgs, opt, cc, ss, vv))
+    assert (pf0 >= nv - 1).all()  # nearly all views free (level gates allowed)
+
+    # after inserting the patches, their own depth test still passes ...
+    p = depth_mod.set_depths(pack, cams, cc, ss, vv)
+    dt1 = np.asarray(depth_mod.depth_tests(p, cams, imgs, opt, cc, nn, ss, vv,
+                                           opt.DEPTH_TEST_FACTOR))
+    assert (dt1 >= opt.MIN_IMAGES_PER_PATCH).mean() > 0.9
+    # ... but their pixels are no longer free
+    pf1 = np.asarray(depth_mod.pixel_free_tests(p, cams, imgs, opt, cc, ss, vv))
+    assert (pf1 < pf0).mean() > 0.9
+
+    # nothing blocks the view of on-surface patches
+    vb = np.asarray(depth_mod.view_block_test(p, cams, imgs, opt, cc, nn, ss,
+                                              opt.DEPTH_TEST_FACTOR,
+                                              scene.n_cameras))
+    assert (vb == 0).mean() > 0.9
+
+    # a patch floating in FRONT of the confirmed surface gets blocked counts:
+    # shift along the reference-view ray so it hits the same buffer cell with
+    # a smaller depth (with a sparse buffer only ray-aligned shifts land on
+    # written cells -- same as the reference)
+    cam_c = np.asarray(cams.center)[v[:B, 0]]
+    ray = c[:B] - cam_c
+    ray /= np.linalg.norm(ray, axis=1, keepdims=True)
+    c_float = c[:B] - 0.4 * ray
+    vbf = np.asarray(depth_mod.view_block_test(
+        p, cams, imgs, opt, jnp.asarray(c_float.astype(np.float32)), nn, ss,
+        opt.DEPTH_TEST_FACTOR, scene.n_cameras))
+    assert vbf.mean() > vb.mean()
+    assert (vbf >= 1).mean() > 0.5
+
+
+def test_get_full_depth_pyramid_min(built):
+    scene, opt, pack, (c, n, s, v) = built
+    cams = scene.ctx.cams
+    cc, ss, vv = (jnp.asarray(c[:4]), jnp.asarray(s[:4]), jnp.asarray(v[:4]))
+    p = depth_mod.set_depths(pack, cams, cc, ss, vv)
+    # recover the exact buffer cell the write used, then query a level-0
+    # pixel that maps down onto it (write rounds at level L, read shifts
+    # down from level 0 -- the same one-off quirk as the reference's
+    # setDepths vs getFullDepth formulas)
+    from hpmvs_tpu.geom import camera as cam_ops
+    ci = jnp.asarray([v[0, 0]], dtype=jnp.int32)
+    lvl = cam_ops.get_leveli(cams, ci, cc[:1], ss[:1], opt.n_levels - 1)
+    imgC = np.asarray(cam_ops.mult(cams, ci, cc[:1], lvl))[0]
+    lv = int(lvl[0])
+    xw = int(imgC[0] / imgC[2] + 0.5) // 2
+    yw = int(imgC[1] / imgC[2] + 0.5) // 2
+    ix = xw * (2 << lv) + (1 << lv)   # maps to xw at level lv in the read
+    iy = yw * (2 << lv) + (1 << lv)
+    fd = float(depth_mod.get_full_depth(p, ci, jnp.array([ix]),
+                                        jnp.array([iy]), opt.n_levels)[0])
+    assert fd < depth_mod.MAX_DEPTH
+    np.testing.assert_allclose(fd, imgC[2], rtol=1e-3)
