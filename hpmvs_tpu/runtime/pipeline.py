@@ -1,0 +1,80 @@
+"""End-to-end progressive reconstruction driver: the hp_pmvs() equivalent.
+
+Behavioral equivalent of src/main.cpp:98-206: load NVM -> build scene ->
+extract covisibility -> seed + optimize -> priority loop over
+(MAX_TREE_LEVEL+1)*10 steps with progressive PLY snapshots every 10 steps
+(one octree level) -> final PLY. The reference's subtree decomposition +
+OpenMP fan-out collapses into the Engine's batched wavefronts; multi-chip
+sharding lives in hpmvs_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.io import nvm as nvm_io
+from hpmvs_tpu.runtime.wavefront import Engine
+
+log = logging.getLogger("hpmvs_tpu")
+
+
+def run(model: nvm_io.NvmModel, opt: Options, images=None,
+        more_output: bool = False, light_output: int = 0,
+        snapshot_hook=None, max_prio: Optional[int] = None) -> Engine:
+    """Progressive densification main loop (main.cpp:145-202)."""
+    os.makedirs(opt.OUTFOLDER, exist_ok=True)
+    engine = Engine(model, opt, images=images)
+    engine.seed()
+    if more_output:
+        engine.save_ply(os.path.join(opt.OUTFOLDER, "patches-init.ply"))
+
+    t0 = time.time()
+    top = opt.max_prio if max_prio is None else max_prio
+    for prio in range(top):
+        changed = engine.process_priority_step(prio)
+
+        if changed and prio % 10 < 3:
+            if prio % 10 == 0 or more_output:
+                engine.save_ply(os.path.join(opt.OUTFOLDER,
+                                             f"patches-{prio}.ply"))
+            if light_output > 0 and prio == light_output:
+                engine.save_ply(os.path.join(opt.OUTFOLDER,
+                                             "patches-light.ply"),
+                                binary=True, normal=False, scale=False,
+                                visibility=False)
+            log.info("prio %d finished: %d patches alive", prio,
+                     engine.n_alive())
+        if snapshot_hook is not None:
+            snapshot_hook(engine, prio)
+
+        if not engine.have_work():
+            break
+
+    hist = engine.tree.histogram()
+    log.info("Tree Cell Histogram: %s", {f"L{i}": int(v)
+                                         for i, v in enumerate(hist) if v})
+    proc_time = time.time() - t0
+    n_opt = engine.stats["patches_optimized"]
+    log.info("Done within %.1f seconds (%d patches optimized, %.1f/s)",
+             proc_time, n_opt, n_opt / max(proc_time, 1e-9))
+    engine.stats["proc_time"] = proc_time
+
+    engine.save_ply(os.path.join(opt.OUTFOLDER, "patches-final.ply"))
+    if light_output > 0:
+        engine.save_ply(os.path.join(opt.OUTFOLDER, "patches-final-light.ply"),
+                        binary=True, normal=False, scale=False,
+                        visibility=False)
+    return engine
+
+
+def run_nvm_file(path: str, opt: Options, **kw) -> Engine:
+    models = nvm_io.read_nvm(path)
+    if not models:
+        raise ValueError(f"no models found in NVM file <{path}>")
+    return run(models[0], opt, **kw)

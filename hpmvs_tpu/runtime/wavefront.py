@@ -1,0 +1,648 @@
+"""Level-synchronous wavefront engine: the TPU replacement for CellProcessor.
+
+Behavioral equivalent of the reference scheduler
+(src/hpmvs/CellProcessor.cpp:43-544 + the priority loop main.cpp:145-181):
+a priority queue of octree cells, priority = (level + priorityReduction)*10 +
+phase, with the per-cell state machine
+
+    filter (multi-patch cell) -> extend (6 lateral candidates, phase +0) ->
+    regularize (5x5 flatness test, phase +1) -> remove-or-branch (4 diagonal
+    children, phase +2)
+
+TPU-first inversion (SURVEY.md section 7): instead of popping one cell at a
+time and running one nlopt solve per candidate, the engine drains *all* cells
+of the current priority as one batch, generates all their candidates, and
+refines them with a single optimize_batch call; all depth/visibility gates
+run as batched device ops. Collision resolution on octree insertion
+(addConditional, doctree.h:396-419) becomes a deterministic first-wins dedup
+by target cell key within the batch (documented divergence: the reference
+resolves by thread-interleaved arrival order).
+
+The octree bookkeeping (key sets, queues) stays on host numpy -- it is
+O(cells) integer work, dwarfed by the NCC/Newton device compute.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.geom import camera as cam_ops
+from hpmvs_tpu.core import depth as depth_mod
+from hpmvs_tpu.core import scene as scene_mod
+from hpmvs_tpu.core.octree import LinearOctree, PatchStore
+from hpmvs_tpu.io import ply as ply_io
+from hpmvs_tpu.ops import optimizer as popt
+
+log = logging.getLogger("hpmvs_tpu")
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    """Owns the whole reconstruction state: device scene context + depth
+    buffers, host patch store + linear octree + priority queues."""
+
+    def __init__(self, model, opt: Options, images=None,
+                 visdata_path: Optional[str] = None):
+        self.opt = opt
+        self.model = model
+        self.scene = scene_mod.build_scene(model, opt, images=images,
+                                           visdata_path=visdata_path)
+        self.pack = depth_mod.build_depth_pack(
+            np.asarray(self.scene.ctx.imgs.width),
+            np.asarray(self.scene.ctx.imgs.height), opt.DEPTH_SUBSAMPLE)
+        self.patches = PatchStore(opt.MAX_VIEWS)
+        self.tree: Optional[LinearOctree] = None
+        self.cell_patches: Dict[int, List[int]] = defaultdict(list)
+        self.queue: Dict[int, List[int]] = defaultdict(list)
+        self.stats = defaultdict(int)
+        self.on_patch_event: Optional[Callable] = None
+
+    # ------------------------------------------------------------------
+    # plumbing
+    # ------------------------------------------------------------------
+    def _insert_patch(self, pid: int, cid: int):
+        self.patches.cell[pid] = cid
+        self.cell_patches[cid].append(int(pid))
+
+    def _remove_patch(self, pid: int):
+        cid = int(self.patches.cell[pid])
+        if cid >= 0 and pid in self.cell_patches.get(cid, ()):
+            self.cell_patches[cid].remove(pid)
+        self.patches.free(np.asarray([pid]))
+
+    def _free_cell(self, cid: int):
+        self.tree.free_cells(np.asarray([cid]))
+        self.cell_patches.pop(cid, None)
+
+    def _push(self, prio: int, cid: int):
+        self.queue[int(prio)].append(int(cid))
+
+    def _optimize(self, centers, normals, scales, views):
+        """Bucketed batched optimize (pads to bounded shapes to limit
+        recompilation, SURVEY.md section 7 'hard parts')."""
+        n = centers.shape[0]
+        b = _bucket(n)
+        K = self.opt.MAX_VIEWS
+
+        def pad(a, fill=0.0):
+            out = np.full((b,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        pv = pad(views, -1)
+        res = popt.optimize_batch(
+            self.scene.ctx, self.opt, jnp.asarray(pad(centers)),
+            jnp.asarray(pad(normals)), jnp.asarray(pad(scales)),
+            jnp.asarray(pv))
+        c, nn, s, v, ok, col, resid = (np.array(x) for x in res)  # writable
+        self.stats["patches_optimized"] += n
+        return (c[:n], nn[:n], s[:n], v[:n], ok[:n], col[:n], resid[:n])
+
+    def _set_depths(self, pids: np.ndarray, subtract: bool = False):
+        if len(pids) == 0:
+            return
+        n = len(pids)
+        b = _bucket(n)
+        c = np.zeros((b, 3), np.float32)
+        s = np.zeros((b,), np.float32)
+        v = np.full((b, self.opt.MAX_VIEWS), -1, np.int32)
+        c[:n] = self.patches.center[pids]
+        s[:n] = self.patches.scale[pids]
+        v[:n] = self.patches.views[pids]
+        self.pack = depth_mod.set_depths(
+            self.pack, self.scene.ctx.cams, jnp.asarray(c), jnp.asarray(s),
+            jnp.asarray(v), subtract=subtract,
+            subsample=self.opt.DEPTH_SUBSAMPLE)
+
+    def _geom_gates(self, centers, normals, scales, views):
+        """Batched depthTests / viewBlockTest / pixelFreeTests for extend
+        gating (CellProcessor.cpp:134-142)."""
+        n = centers.shape[0]
+        b = _bucket(n)
+
+        def pad(a, fill=0.0):
+            out = np.full((b,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        ctx = self.scene.ctx
+        cc = jnp.asarray(pad(centers))
+        nn = jnp.asarray(pad(normals))
+        ss = jnp.asarray(pad(scales))
+        vv = jnp.asarray(pad(views, -1))
+        m = self.opt.DEPTH_TEST_FACTOR
+        dt = np.asarray(depth_mod.depth_tests(self.pack, ctx.cams, ctx.imgs,
+                                              self.opt, cc, nn, ss, vv, m))
+        vb = np.asarray(depth_mod.view_block_test(self.pack, ctx.cams,
+                                                  ctx.imgs, self.opt, cc, nn,
+                                                  ss, m, self.scene.n_cameras))
+        pf = np.asarray(depth_mod.pixel_free_tests(self.pack, ctx.cams,
+                                                   ctx.imgs, self.opt, cc, ss,
+                                                   vv))
+        return dt[:n], vb[:n], pf[:n]
+
+    @staticmethod
+    def _tangent_axes(normals: np.ndarray, cam_x: np.ndarray):
+        """extend/branch/regularize tangent frame (CellProcessor.cpp:98-101):
+        yaxis = normalize(n x imgX), xaxis = yaxis x n."""
+        y = np.cross(normals, cam_x)
+        y /= np.maximum(np.linalg.norm(y, axis=1, keepdims=True), 1e-12)
+        x = np.cross(y, normals)
+        return x, y
+
+    # ------------------------------------------------------------------
+    # seeding (Scene::initPatches + main.cpp:127-139)
+    # ------------------------------------------------------------------
+    def seed(self):
+        opt = self.opt
+        c, n, s, v, orig = scene_mod.make_seed_patches(self.model, self.scene,
+                                                       opt)
+        if c.shape[0] == 0:
+            self.tree = LinearOctree(np.zeros(3), 2.0)
+            return 0
+        t0 = time.time()
+        out_c, out_n, out_s, out_v, ok, col, _ = self._optimize(c, n, s, v)
+        drift = np.linalg.norm(out_c - orig, axis=1) <= out_s * opt.SEED_DRIFT
+        keep = ok & drift
+        log.info("created %d initPatches out of %d points (%.1fs)",
+                 int(keep.sum()), self.model.n_points, time.time() - t0)
+
+        c, n, s, v, col = (out_c[keep], out_n[keep], out_s[keep], out_v[keep],
+                           col[keep])
+        if c.shape[0] == 0:
+            self.tree = LinearOctree(np.zeros(3), 2.0)
+            return 0
+        # bounding cube root (Scene.cpp:186-193)
+        mn, mx = c.min(0), c.max(0)
+        width = float(np.max(mx - mn))
+        width = max(width, 1e-6)
+        self.tree = LinearOctree((mn + mx) / 2.0, width,
+                                 max_level=min(opt.MAX_TREE_LEVEL + 2, 20))
+        # seed scale floor (Scene.cpp:196)
+        s = np.maximum(s, width / (1 << (opt.PATCH_INIT_MAXLEVEL + 1)))
+
+        # add(p, scale): level from width formula, then conflict pushdown --
+        # finer structure created by co-located finer patches forces coarser
+        # patches down (doctree.h:378-394 split-with-buffer semantics)
+        lv = self.tree.level_for_width(s)
+        for _ in range(self.tree.max_level):
+            keys = np.zeros(len(c), np.uint64)
+            for L in np.unique(lv):
+                m = lv == L
+                keys[m] = self.tree.key_at(c[m], int(L))
+            # structure level induced by all patches (excluding self-level)
+            tmp = LinearOctree(self.tree.center, self.tree.width,
+                               self.tree.max_level)
+            tmp.alloc_cells(lv.astype(np.int8), keys)
+            sl = tmp.structure_level(c)
+            new_lv = np.maximum(lv, sl)
+            if (new_lv == lv).all():
+                break
+            lv = new_lv
+
+        keys = np.zeros(len(c), np.uint64)
+        for L in np.unique(lv):
+            m = lv == L
+            keys[m] = self.tree.key_at(c[m], int(L))
+
+        pair = np.stack([lv.astype(np.uint64), keys])
+        uniq, inv = np.unique(pair, axis=1, return_inverse=True)
+        cids = self.tree.alloc_cells(uniq[0].astype(np.int8),
+                                     uniq[1].astype(np.uint64))
+
+        pids = self.patches.alloc(len(c))
+        self.patches.center[pids] = c
+        self.patches.normal[pids] = n
+        self.patches.scale[pids] = s
+        self.patches.views[pids] = v
+        self.patches.color[pids] = col
+        for i, pid in enumerate(pids):
+            self._insert_patch(int(pid), int(cids[inv[i]]))
+        self._set_depths(pids)
+
+        # initFromTree (CellProcessor.cpp:422-455): queue at level*10
+        for j, cid in enumerate(cids):
+            self._push(int(uniq[0][j]) * 10, int(cid))
+        self.stats["seeds"] = len(c)
+        return len(c)
+
+    # ------------------------------------------------------------------
+    # the cell state machine, batched (CellProcessor::processCell)
+    # ------------------------------------------------------------------
+    def process_priority_step(self, prio: int) -> bool:
+        """Drain every queue entry with priority <= prio
+        (one OMP-parallel processQueue sweep in the reference,
+        main.cpp:150-154)."""
+        changed = False
+        while self.queue:
+            pmin = min(self.queue)
+            if pmin > prio:
+                break
+            cells = self.queue.pop(pmin)
+            # dedup + drop dead cells (the reference dangles pointers here)
+            seen = set()
+            live = []
+            for cid in cells:
+                if cid in seen or not self.tree.alive[cid]:
+                    continue
+                seen.add(cid)
+                if self.cell_patches.get(cid):
+                    live.append(cid)
+            if not live:
+                continue
+            changed = True
+            self._process_cells(np.asarray(live, np.int64), pmin)
+        return changed
+
+    def _process_cells(self, cids: np.ndarray, prio: int):
+        opt = self.opt
+        if prio >= opt.max_prio:
+            return
+        # filter multi-patch cells first (CellProcessor.cpp:377-378)
+        multi = [c for c in cids if len(self.cell_patches[c]) > 1]
+        if multi:
+            self._filter_cells(multi)
+
+        first_pid = np.asarray([self.cell_patches[c][0] for c in cids])
+        expanded = self.patches.expanded[first_pid]
+        flat = self.patches.flatness[first_pid]
+
+        ext = cids[~expanded]
+        if len(ext):
+            self._extend_cells(ext)
+        reg = cids[expanded & (flat < 0)]
+        if len(reg):
+            self._regularize_cells(reg)
+        rem = cids[expanded & (flat > opt.FLATNESS_REMOVE)]
+        if len(rem):
+            self._remove_cells(rem)
+        bra = cids[expanded & (flat >= 0) & (flat <= opt.FLATNESS_REMOVE)]
+        if len(bra):
+            self._branch_cells(bra)
+
+    # -- filter (CellProcessor::filter, :43-82) -------------------------
+    def _filter_cells(self, cids):
+        losers = []
+        for cid in cids:
+            pids = self.cell_patches[cid]
+            if len(pids) <= 1:
+                continue
+            cs = self.patches.center[pids]
+            ns = self.patches.normal[pids]
+            ns = ns / np.maximum(np.linalg.norm(ns, axis=1, keepdims=True),
+                                 1e-12)
+            # mean *signed* plane distance of the others (reference quirk)
+            diff = cs[None, :, :] - cs[:, None, :]       # (i, j, 3)
+            d = np.einsum("ik,ijk->ij", ns, diff)
+            np.fill_diagonal(d, 0.0)
+            dist = d.sum(1) / (len(pids) - 1)
+            best = int(np.argmin(dist))
+            for j, pid in enumerate(list(pids)):
+                if j != best:
+                    losers.append(pid)
+            keeper = pids[best]
+            self.cell_patches[cid] = [keeper]
+            self.patches.cell[keeper] = cid
+        if losers:
+            losers = np.asarray(losers)
+            self._set_depths(losers, subtract=True)
+            self.patches.free(losers)
+            self.stats["filtered"] += len(losers)
+
+    # -- extend (CellProcessor::extend, :84-178) ------------------------
+    def _extend_cells(self, cids: np.ndarray):
+        opt = self.opt
+        N = opt.EXTEND_DIRS
+        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        centers = self.patches.center[pids]
+        normals = self.patches.normal[pids]
+        views = self.patches.views[pids]
+        prio_red = self.patches.prio_red[pids]
+        _, widths = self.tree.cell_center_width(cids)
+        levels = self.tree.node_level(cids)
+
+        cam_x = np.asarray(self.scene.ctx.cams.xaxis)[
+            np.maximum(views[:, 0], 0)]
+        xax, yax = self._tangent_axes(normals, cam_x)
+
+        ang = 2.0 * np.pi / N * np.arange(N)
+        dx, dy = np.cos(ang), np.sin(ang)
+        # candidate centers (B, N, 3)
+        cand_c = (centers[:, None, :]
+                  + (dx[None, :, None] * xax[:, None, :]
+                     + dy[None, :, None] * yax[:, None, :])
+                  * widths[:, None, None])
+        B = len(cids)
+        cand_c = cand_c.reshape(B * N, 3).astype(np.float32)
+        src = np.repeat(np.arange(B), N)
+
+        inside = self.tree.contains(cand_c)
+        occupied = self.tree.containing_cell(cand_c) >= 0
+        finer = self.tree.structure_level(cand_c) > levels[src]
+        # skip occupied/finer targets; outside-root candidates are dropped
+        # (single-tree border semantics; the halo-exchange hook for sharding)
+        todo = inside & ~occupied & ~finer
+        self.stats["extend_candidates"] += int(todo.sum())
+        if not todo.any():
+            self._finish_extend(cids, pids, levels, prio_red)
+            return
+
+        sel = np.nonzero(todo)[0]
+        c_in = cand_c[sel]
+        n_in = normals[src[sel]]
+        s_in = (widths[src[sel]] * opt.EXTEND_SCALE / 2.0).astype(np.float32)
+        v_in = views[src[sel]]
+
+        oc, on, os_, ov, ok, col, _ = self._optimize(c_in, n_in, s_in, v_in)
+
+        w_src = widths[src[sel]]
+        ok &= (os_ * 2.0 < w_src) & (os_ * 2.0 > w_src / 2.0)
+        ok &= np.linalg.norm(oc - centers[src[sel]], axis=1) \
+            < w_src * opt.EXTEND_DRIFT
+        if ok.any():
+            dt, vb, pf = self._geom_gates(oc, on, os_, ov)
+            nv = (ov >= 0).sum(1)
+            ok &= dt >= opt.MIN_IMAGES_PER_PATCH
+            ok &= vb < opt.MIN_IMAGES_PER_PATCH
+            ok &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
+                & (pf * 1.0 / np.maximum(nv, 1) > 0.75)
+
+        # addConditional at the *optimized* position (CellProcessor.cpp:154)
+        inside2 = self.tree.contains(oc)
+        occ2 = self.tree.containing_cell(oc) >= 0
+        finer2 = self.tree.structure_level(oc) > levels[src[sel]]
+        ok &= inside2 & ~occ2 & ~finer2
+        if ok.any():
+            lv_t = levels[src[sel]]
+            keys = np.zeros(len(oc), np.uint64)
+            for L in np.unique(lv_t[ok]):
+                m = ok & (lv_t == L)
+                keys[m] = self.tree.key_at(oc[m], int(L))
+            # first-wins dedup within the batch (deterministic stand-in for
+            # the reference's sequential addConditional)
+            pair = np.stack([lv_t.astype(np.uint64), keys])
+            _, first_idx = np.unique(pair, axis=1, return_index=True)
+            winner = np.zeros(len(oc), bool)
+            winner[first_idx] = True
+            ok &= winner
+
+        acc = np.nonzero(ok)[0]
+        if len(acc):
+            lv_t = levels[src[sel[acc]]]
+            new_cids = self.tree.alloc_cells(lv_t.astype(np.int8), keys[acc])
+            new_pids = self.patches.alloc(len(acc))
+            self.patches.center[new_pids] = oc[acc]
+            self.patches.normal[new_pids] = on[acc]
+            self.patches.scale[new_pids] = os_[acc]
+            self.patches.views[new_pids] = ov[acc]
+            self.patches.color[new_pids] = col[acc]
+            self.patches.flatness[new_pids] = -1.0
+            self.patches.expanded[new_pids] = False
+            self.patches.prio_red[new_pids] = prio_red[src[sel[acc]]]
+            for i, pid in enumerate(new_pids):
+                self._insert_patch(int(pid), int(new_cids[i]))
+            self._set_depths(new_pids)
+            for i, cid in enumerate(new_cids):
+                pr = (int(lv_t[i]) + int(prio_red[src[sel[acc[i]]]])) * 10
+                self._push(pr, int(cid))
+            self.stats["extended"] += len(acc)
+
+        self._finish_extend(cids, pids, levels, prio_red)
+
+    def _finish_extend(self, cids, pids, levels, prio_red):
+        """Mark expanded + requeue at phase 1 (CellProcessor.cpp:380-387)."""
+        self.patches.expanded[pids] = True
+        for i, cid in enumerate(cids):
+            self._push((int(levels[i]) + int(prio_red[i])) * 10 + 1, int(cid))
+
+    # -- regularize (CellProcessor::regularize, :309-367) ---------------
+    def _regularize_cells(self, cids: np.ndarray):
+        opt = self.opt
+        hw = opt.REGULARIZE_HWIN
+        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        centers = self.patches.center[pids]
+        normals = self.patches.normal[pids]
+        views = self.patches.views[pids]
+        _, widths = self.tree.cell_center_width(cids)
+        levels = self.tree.node_level(cids)
+
+        cam_x = np.asarray(self.scene.ctx.cams.xaxis)[
+            np.maximum(views[:, 0], 0)]
+        xax, yax = self._tangent_axes(normals, cam_x)
+
+        offs = [(xx, yy) for yy in range(-hw, hw + 1)
+                for xx in range(-hw, hw + 1) if not (xx == 0 and yy == 0)]
+        M = len(offs)
+        oo = np.asarray(offs, np.float64)               # (M, 2)
+        pts = (centers[:, None, :]
+               + (oo[None, :, 0, None] * xax[:, None, :]
+                  + oo[None, :, 1, None] * yax[:, None, :])
+               * widths[:, None, None])
+        B = len(cids)
+        owner = self.tree.containing_cell(pts.reshape(B * M, 3)).reshape(B, M)
+
+        flat = np.zeros(B, np.float32)
+        for i in range(B):
+            neigh = np.unique(owner[i][owner[i] >= 0])
+            if len(neigh) < 1:
+                flat[i] = opt.FLATNESS_NO_NEIGH
+                continue
+            if len(neigh) < 4:
+                flat[i] = opt.FLATNESS_FEW_NEIGH
+                continue
+            n = normals[i] / max(np.linalg.norm(normals[i]), 1e-12)
+            dists = []
+            for cid2 in neigh:
+                plist = self.cell_patches.get(int(cid2))
+                if not plist:
+                    continue
+                pb = self.patches.center[plist[0]]
+                e = float(n @ (pb - centers[i]))
+                dists.append(e * e)
+            if not dists:
+                flat[i] = opt.FLATNESS_NO_NEIGH
+                continue
+            flat[i] = np.sqrt(np.sum(dists) / len(dists)) / widths[i]
+
+        self.patches.flatness[pids] = flat
+        self.patches.prio_red[pids] = 0  # CellProcessor.cpp:399
+        for i, cid in enumerate(cids):
+            self._push(int(levels[i]) * 10 + 2, int(cid))
+        self.stats["regularized"] += B
+
+    # -- removal (processCell flatness > 2.4 branch, :407-412) ----------
+    def _remove_cells(self, cids: np.ndarray):
+        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        self._set_depths(pids, subtract=True)
+        for cid, pid in zip(cids, pids):
+            self._remove_patch(int(pid))
+            self._free_cell(int(cid))
+        self.stats["removed"] += len(cids)
+
+    # -- branch (CellProcessor::branch, :210-307) -----------------------
+    def _branch_cells(self, cids: np.ndarray):
+        opt = self.opt
+        N = opt.BRANCH_DIRS
+        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        centers = self.patches.center[pids]
+        normals = self.patches.normal[pids]
+        scales = self.patches.scale[pids]
+        views = self.patches.views[pids]
+        _, widths = self.tree.cell_center_width(cids)
+        levels = self.tree.node_level(cids)
+
+        # getLevelSupport (Scene.cpp:335-344): images with resolution left
+        cams = self.scene.ctx.cams
+        ci = np.maximum(views, 0)
+        cc = np.repeat(centers[:, None, :], views.shape[1], axis=1)
+        lvl = np.round(np.asarray(cam_ops.get_level(
+            cams, jnp.asarray(ci), jnp.asarray(cc),
+            jnp.asarray(np.repeat(scales[:, None], views.shape[1], axis=1)))))
+        support = ((lvl > opt.MINLEVEL) & (views >= 0)).sum(1)
+        exhausted = support < 1
+        work = np.nonzero(~exhausted)[0]
+        self.stats["exhausted"] += int(exhausted.sum())
+        if len(work) == 0:
+            return
+
+        cam_x = np.asarray(cams.xaxis)[np.maximum(views[work, 0], 0)]
+        xax, yax = self._tangent_axes(normals[work], cam_x)
+        ang = 2.0 * np.pi / N * np.arange(N) + np.pi / 4.0
+        dx, dy = np.cos(ang), np.sin(ang)
+        ext = widths[work] / 4.0
+        cand_c = (centers[work][:, None, :]
+                  + (dx[None, :, None] * xax[:, None, :]
+                     + dy[None, :, None] * yax[:, None, :])
+                  * ext[:, None, None])
+        Bw = len(work)
+        cand_c = cand_c.reshape(Bw * N, 3).astype(np.float32)
+        src = np.repeat(np.arange(Bw), N)
+
+        # candidates must stay within the parent cell (pre-gate, :252)
+        lv_par = levels[work][src]
+        key_par = self.tree.key[cids[work]][src]
+        key_cand = np.zeros(len(cand_c), np.uint64)
+        for L in np.unique(lv_par):
+            m = lv_par == L
+            key_cand[m] = self.tree.key_at(cand_c[m], int(L))
+        in_cell = key_cand == key_par
+
+        sel = np.nonzero(in_cell)[0]
+        accepted = np.zeros(len(cand_c), bool)
+        if len(sel):
+            c_in = cand_c[sel]
+            n_in = normals[work][src[sel]]
+            s_in = (widths[work][src[sel]] * opt.BRANCH_SCALE / 2.0
+                    ).astype(np.float32)
+            v_in = views[work][src[sel]]
+            oc, on, os_, ov, ok, col, _ = self._optimize(c_in, n_in, s_in, v_in)
+            # still inside the parent cell after optimization (:262)
+            key_post = np.zeros(len(oc), np.uint64)
+            for L in np.unique(lv_par[sel]):
+                m = lv_par[sel] == L
+                key_post[m] = self.tree.key_at(oc[m], int(L))
+            ok &= key_post == key_par[sel]
+            accepted[sel] = ok
+
+        n_acc_per_cell = np.bincount(src[accepted], minlength=Bw)
+        # no survivor && level >= PATCH_FINAL_MINLEVEL -> keep lowres (:269)
+        keep_lowres = (n_acc_per_cell == 0) \
+            & (levels[work] >= opt.PATCH_FINAL_MINLEVEL)
+        split_mask = ~keep_lowres
+        self.stats["kept_lowres"] += int(keep_lowres.sum())
+
+        # split: remove the old patch + cell (:274-288)
+        old_idx = work[split_mask]
+        if len(old_idx):
+            old_pids = pids[old_idx]
+            self._set_depths(old_pids, subtract=True)
+            for cid, pid in zip(cids[old_idx], old_pids):
+                self._remove_patch(int(pid))
+                self._free_cell(int(cid))
+
+        if not accepted.any():
+            return
+        acc = np.nonzero(accepted)[0]
+        # drop children of cells that kept their lowres patch
+        child_ok = split_mask[src[acc]]
+        acc = acc[child_ok]
+        if len(acc) == 0:
+            return
+
+        oc_map = {int(s): i for i, s in enumerate(sel)}
+        rows = np.asarray([oc_map[int(a)] for a in acc])
+        child_c = oc[rows]
+        child_n = on[rows]
+        child_s = os_[rows]
+        child_v = ov[rows]
+        child_col = col[rows]
+        child_lv = (lv_par[acc] + 1).astype(np.int64)
+        child_key = np.zeros(len(acc), np.uint64)
+        for L in np.unique(child_lv):
+            m = child_lv == L
+            child_key[m] = self.tree.key_at(child_c[m], int(L))
+
+        # multiple children may share a child octant -> same cell
+        # (multi-patch cells are filtered later, like the reference :291-299)
+        pair = np.stack([child_lv.astype(np.uint64), child_key])
+        uniq, inv = np.unique(pair, axis=1, return_inverse=True)
+        # existing cells at those coords (possible when a neighbor already
+        # branched here): reuse
+        existing = self.tree.lookup(uniq[0].astype(np.int64),
+                                    uniq[1].astype(np.uint64))
+        new_mask = existing < 0
+        fresh = self.tree.alloc_cells(uniq[0][new_mask].astype(np.int8),
+                                      uniq[1][new_mask].astype(np.uint64))
+        cell_ids = existing.copy()
+        cell_ids[new_mask] = fresh
+
+        new_pids = self.patches.alloc(len(acc))
+        self.patches.center[new_pids] = child_c
+        self.patches.normal[new_pids] = child_n
+        self.patches.scale[new_pids] = child_s
+        self.patches.views[new_pids] = child_v
+        self.patches.color[new_pids] = child_col
+        self.patches.flatness[new_pids] = -1.0
+        self.patches.expanded[new_pids] = False
+        par_prio_red = self.patches.prio_red[pids[work][src[acc]]]
+        self.patches.prio_red[new_pids] = par_prio_red
+        for i, pid in enumerate(new_pids):
+            self._insert_patch(int(pid), int(cell_ids[inv[i]]))
+        self._set_depths(new_pids)
+        for j in range(len(uniq[0])):
+            first = int(np.nonzero(inv == j)[0][0])
+            pr = (int(child_lv[first]) + int(par_prio_red[first])) * 10
+            self._push(pr, int(cell_ids[j]))
+        self.stats["branched"] += len(acc)
+
+    # ------------------------------------------------------------------
+    def have_work(self) -> bool:
+        return bool(self.queue)
+
+    def n_alive(self) -> int:
+        return int(self.patches.alive[:self.patches.n].sum())
+
+    def alive_arrays(self):
+        ids = np.nonzero(self.patches.alive[:self.patches.n])[0]
+        p = self.patches
+        return (p.center[ids], p.normal[ids], p.color[ids], p.scale[ids],
+                p.views[ids], (p.views[ids] >= 0).sum(1))
+
+    def save_ply(self, path: str, binary=False, normal=True, scale=True,
+                 visibility=True):
+        c, n, col, s, v, nv = self.alive_arrays()
+        ply_io.write_ext_ply(path, c, n, col, s, v, nv, binary=binary,
+                             normal=normal, scale=scale, visibility=visibility)
