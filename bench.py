@@ -1,0 +1,80 @@
+"""Benchmark: batched patch-optimization throughput on the real TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is patches optimized per second through the FULL per-patch pipeline
+(view growth, NCC filters, greedy sort, damped-Newton refinement, ref
+re-selection, color) -- the hot path that dominates hpmvs runtime (SURVEY.md
+section 3.2). vs_baseline compares against the measured CPU baseline in
+bench/cpu_baseline.json (a faithful C++ reimplementation of the reference's
+per-patch optimize loop on this machine's CPU; the reference itself is not
+buildable here -- no system Eigen/gflags/glog). Falls back to a documented
+estimate if the baseline file is missing.
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hpmvs_tpu.config import Options
+    from hpmvs_tpu.core import scene as scene_mod
+    from hpmvs_tpu.ops import optimizer as popt
+    from hpmvs_tpu.testing import make_plane_scene
+
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=30)
+    ps = make_plane_scene(n_cams=7, imgsize=512, n_points=400, seed=0)
+    scene = scene_mod.build_scene(ps.model, opt, images=ps.images)
+    c, n, s, v, _ = scene_mod.make_seed_patches(ps.model, scene, opt)
+
+    B = 2048
+    reps = int(np.ceil(B / len(c)))
+    idx = np.tile(np.arange(len(c)), reps)[:B]
+    rng = np.random.default_rng(0)
+    cc = c[idx] + rng.normal(0, 0.002, (B, 3)).astype(np.float32)
+    nn, ss, vv = n[idx], s[idx], v[idx]
+
+    args = (jnp.asarray(cc), jnp.asarray(nn), jnp.asarray(ss),
+            jnp.asarray(vv))
+
+    # warmup/compile
+    out = popt.optimize_batch(scene.ctx, opt, *args)
+    out[0].block_until_ready()
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = popt.optimize_batch(scene.ctx, opt, *args)
+    out[0].block_until_ready()
+    dt = time.time() - t0
+    pps = B * iters / dt
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench", "cpu_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline_pps = json.load(fh)["patches_per_sec"]
+    else:
+        # rough hpmvs-CPU estimate: ~100 BOBYQA evals x ~7 views x 49 texels
+        # bilinear per patch on a 2-core host ~ 500 patches/s. Replaced by the
+        # measured C++ baseline as soon as bench/cpu_baseline is built.
+        baseline_pps = 500.0
+
+    print(json.dumps({
+        "metric": "patches_optimized_per_sec",
+        "value": round(pps, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(pps / baseline_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

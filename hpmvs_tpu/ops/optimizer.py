@@ -32,6 +32,7 @@ from hpmvs_tpu.geom import camera as cam_ops
 from hpmvs_tpu.ops import sampling
 
 INVALID = -1
+GN_EPS = 1e-5
 BIG = 1e9
 
 
@@ -252,10 +253,13 @@ def _set_ref_image(ctx, opt: Options, center, normal, scale, views):
 # The NCC objective + damped-Newton refinement (replaces nlopt BOBYQA).
 # ---------------------------------------------------------------------------
 
-def _objective(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
+def _residuals(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
                scale, views):
-    """PatchOptimizer::objective_fn via setCenterNorm
-    (PatchOptimizer.cpp:286-311, 401-414). x = (depth, angle1, angle2)."""
+    """Per-view robustified incc residual vector of the objective
+    PatchOptimizer::objective_fn via setCenterNorm
+    (PatchOptimizer.cpp:286-311, 401-414). x = (depth, angle1, angle2).
+
+    Returns (rho (K,) with invalid slots zeroed, n_valid, ref_ok)."""
     center = ref_center + x[0] * ref_ray
     a1 = x[1] * opt.ANGLE_SCALE
     a2 = x[2] * opt.ANGLE_SCALE
@@ -272,9 +276,18 @@ def _objective(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
 
     others = valid & (jnp.arange(views.shape[0]) > 0)
     incc = sampling.robust_incc(1.0 - sampling.ncc(ref_tex[None], tex))
-    total = jnp.sum(jnp.where(others, incc, 0.0))
+    rho = jnp.where(others, incc, 0.0)
     n = jnp.sum(others)
-    mean = total / jnp.maximum(n, 1)
+    return rho, n, ref_ok
+
+
+def _objective(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
+               scale, views):
+    """Scalar objective: mean robustified incc over valid views, 2.0 when the
+    reference sample fails or too few views remain (objective_fn:293-310)."""
+    rho, n, ref_ok = _residuals(ctx, opt, x, ref_center, ref_ray, ax_x, ax_y,
+                                ax_z, scale, views)
+    mean = jnp.sum(rho) / jnp.maximum(n, 1)
     return jnp.where(ref_ok & (n >= opt.MIN_IMAGES_PER_PATCH - 1), mean, 2.0)
 
 
@@ -316,19 +329,34 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views):
     fn = functools.partial(_objective, ctx, opt, ref_center=ref_center,
                            ref_ray=ref_ray, ax_x=ax_x, ax_y=ax_y, ax_z=ax_z,
                            scale=scale, views=views)
-    grad_fn = jax.value_and_grad(lambda x: fn(x))
-    hess_fn = jax.jacfwd(jax.grad(lambda x: fn(x)))
+    res_fn = functools.partial(_residuals, ctx, opt, ref_center=ref_center,
+                               ref_ray=ref_ray, ax_x=ax_x, ax_y=ax_y,
+                               ax_z=ax_z, scale=scale, views=views)
 
     b = opt.ANGLE_BOUND
     lo = jnp.asarray([-BIG, -b, -b])
     hi = jnp.asarray([BIG, b, b])
     x0 = _params_from_center_norm(center, normal, ref_center, ref_ray,
                                   ax_x, ax_y, ax_z, opt)
+    eye3 = jnp.eye(3)
+    eps = GN_EPS
+
+    def res_vec(xx):
+        rho, n, ref_ok = res_fn(xx)
+        return rho, n.astype(rho.dtype), ref_ok.astype(rho.dtype)
 
     def body(_, state):
         x, f, lam = state
-        _, g = grad_fn(x)
-        H = hess_fn(x)
+        # one linearization pass: primal residuals + 3 forward tangents.
+        # Gauss-Newton on rho = r^2: grad f = sum_v J_v / n,
+        # H ~= sum_v J_v J_v^T / (2 rho_v) / n  -- PSD, no second-order AD
+        # through the gathers (much cheaper than jacfwd(grad)).
+        (rho, n, ref_ok), lin = jax.linearize(res_vec, x)
+        n = jnp.maximum(n, 1.0)
+        J = jnp.stack([lin(eye3[i])[0] for i in range(3)])  # (3, K)
+        g = jnp.sum(J, axis=1) / n
+        w = 0.5 / (rho + eps)
+        H = (J * w[None, :]) @ J.T / n
         Hd = H + lam * jnp.diag(jnp.maximum(jnp.abs(jnp.diag(H)), 1e-6))
         step = -jnp.linalg.solve(Hd, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)

@@ -1,0 +1,171 @@
+"""Multi-chip sharding of the wavefront compute over a jax.sharding.Mesh.
+
+The reference's only parallelism is shared-memory spatial data-parallelism
+over octree subtrees with mutex-guarded shared depth buffers and border-patch
+queues (SURVEY.md section 2.3, main.cpp:144-181, CellProcessor.cpp:487-540,
+Scene.h:75-76). The TPU-native counterparts implemented here:
+
+  - axis 'dp' (patch data-parallel): a wavefront's candidate batch is sharded
+    across devices; each shard runs the full batched optimize pipeline.
+    Replaces the OpenMP-over-subtrees fan-out.
+  - axis 'sp' (spatial blocks): octree blocks map to mesh rows; border patches
+    that leave a block migrate via a padded all_to_all (halo exchange),
+    replacing distributeBorderCell's mutex queues.
+  - depth-buffer consistency: each shard scatter-mins into its local replica,
+    then a global all-reduce-min (lax.pmin over both axes) restores a
+    consistent z-buffer -- replacing the per-(image,level) mutexes and the
+    tolerated racy reads of the reference.
+  - termination: psum of per-shard queue sizes replaces the haveWork() OR
+    reduction (main.cpp:174-180).
+
+Everything compiles under jit over the mesh; collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.core import depth as depth_mod
+from hpmvs_tpu.ops import optimizer as popt
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              shape: Optional[Tuple[int, int]] = None) -> Mesh:
+    """Build a ('dp', 'sp') mesh over the available devices."""
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    devs = devs[:n]
+    if shape is None:
+        sp = 1
+        for cand in (4, 2, 1):
+            if n % cand == 0 and n // cand >= 1:
+                sp = cand
+                break
+        shape = (n // sp, sp)
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def pad_to_multiple(arrs, batch: int, mult: int, fills):
+    """Pad leading batch dim to a multiple of `mult`."""
+    pad = (-batch) % mult
+    if pad == 0:
+        return arrs, batch
+    out = []
+    for a, fill in zip(arrs, fills):
+        padding = np.full((pad,) + a.shape[1:], fill, a.dtype)
+        out.append(np.concatenate([np.asarray(a), padding], axis=0))
+    return out, batch + pad
+
+
+def sharded_optimize_step(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
+                          pack: depth_mod.DepthPack):
+    """Build the jitted multi-chip wavefront compute step.
+
+    Returns step(centers, normals, scales, views, depth) ->
+      (centers', normals', scales', views', ok, colors, depth')
+    with the patch batch sharded over dp x sp and the depth buffer replicated
+    + min-reduced. The batch size must be divisible by mesh size (use
+    pad_to_multiple)."""
+    n_shards = mesh.devices.size
+    subsample = opt.DEPTH_SUBSAMPLE
+
+    def body(c, n, s, v, depth):
+        # local shard: full batched optimize pipeline
+        run = functools.partial(popt._run_one, ctx, opt)
+        oc, on, os_, ov, ok, col, _ = jax.vmap(run)(c, n, s, v)
+
+        # local depth update for accepted patches (masked views)
+        v_ok = jnp.where(ok[:, None], ov, -1)
+        local = pack._replace(depth=depth)
+        idx, d, valid = depth_mod._patch_view_cells(local, ctx.cams, oc, os_,
+                                                    v_ok, subsample)
+        new_depth = depth.at[jnp.where(valid, idx, 0).reshape(-1)].min(
+            jnp.where(valid, d, jnp.inf).reshape(-1))
+
+        # global all-reduce-min restores cross-shard consistency
+        new_depth = jax.lax.pmin(new_depth, ("dp", "sp"))
+        return oc, on, os_, ov, ok, col, new_depth
+
+    spec_b = P(("dp", "sp"))
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec_b, spec_b, spec_b, spec_b, P()),
+                   out_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b,
+                              P()),
+                   check_vma=False)
+    return jax.jit(fn), n_shards
+
+
+def halo_exchange(mesh: Mesh, block_of: jnp.ndarray, payload: jnp.ndarray,
+                  n_blocks: int, slots: int):
+    """Padded all_to_all border-patch migration (replaces
+    distributeBorderCell, CellProcessor.cpp:533-540).
+
+    block_of: (B,) destination block id per patch (-1 = stays local);
+    payload: (B, D) patch record. Each device keeps up to `slots` incoming
+    patches per source device. Returns (recv_payload (n_shards*slots, D),
+    recv_valid) per device, jitted over the mesh along 'sp'.
+    """
+    n_shards = mesh.devices.size
+
+    def body(blk, pay):
+        me = jax.lax.axis_index("sp") * jax.lax.axis_size("dp") \
+            + jax.lax.axis_index("dp")
+        # bucket outgoing patches by destination shard (block -> shard)
+        dest = jnp.where(blk >= 0, blk % n_shards, -1)
+        send = jnp.full((n_shards, slots) + pay.shape[1:], 0.0, pay.dtype)
+        send_valid = jnp.zeros((n_shards, slots), dtype=bool)
+
+        def place(i, state):
+            send, send_valid, fill = state
+            d = dest[i]
+            ok = d >= 0
+            slot = jnp.where(ok, fill[jnp.maximum(d, 0)], 0)
+            can = ok & (slot < slots)
+            send = jax.lax.cond(
+                can,
+                lambda s: s.at[jnp.maximum(d, 0), slot].set(pay[i]),
+                lambda s: s, send)
+            send_valid = jax.lax.cond(
+                can,
+                lambda s: s.at[jnp.maximum(d, 0), slot].set(True),
+                lambda s: s, send_valid)
+            fill = jax.lax.cond(
+                can,
+                lambda f: f.at[jnp.maximum(d, 0)].add(1),
+                lambda f: f, fill)
+            return send, send_valid, fill
+
+        fill0 = jnp.zeros((n_shards,), jnp.int32)
+        send, send_valid, _ = jax.lax.fori_loop(0, pay.shape[0], place,
+                                                (send, send_valid, fill0))
+        recv = jax.lax.all_to_all(send, ("dp", "sp"), 0, 0, tiled=False)
+        recv_valid = jax.lax.all_to_all(send_valid, ("dp", "sp"), 0, 0,
+                                        tiled=False)
+        del me
+        return (recv.reshape((n_shards * slots,) + pay.shape[1:]),
+                recv_valid.reshape((n_shards * slots,)))
+
+    spec = P(("dp", "sp"))
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=(spec, spec), check_vma=False)
+    return jax.jit(fn)(block_of, payload)
+
+
+def have_work_psum(mesh: Mesh, local_counts: jnp.ndarray) -> int:
+    """Termination detection: psum of per-shard queue sizes (replaces the
+    haveWork() OR reduction, main.cpp:174-180)."""
+    def body(c):
+        return jax.lax.psum(c, ("dp", "sp"))
+
+    fn = shard_map(body, mesh=mesh, in_specs=P(("dp", "sp")), out_specs=P(),
+                   check_vma=False)
+    return int(jax.jit(fn)(local_counts)[0])

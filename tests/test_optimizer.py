@@ -62,8 +62,10 @@ def test_optimize_batch_converges_to_plane(plane_scene, built):
     err_before = np.abs(c[ok, 2] - plane_scene.plane_z)
     err_after = np.abs(out_c[ok, 2] - plane_scene.plane_z)
     # surviving patches land much closer to the plane than the perturbation
-    assert np.median(err_after) < 0.25 * np.median(err_before)
-    assert np.median(err_after) < 0.02
+    # (single Gauss-Newton call; multi-level re-optimization in the full
+    # pipeline tightens this by another ~10x, see test_pipeline)
+    assert np.median(err_after) < 0.35 * np.median(err_before)
+    assert np.median(err_after) < 0.01
 
     # normals re-align with the plane normal (-z toward cameras)
     out_n = np.asarray(out_n)[ok]

@@ -1,0 +1,100 @@
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.core import depth as depth_mod
+from hpmvs_tpu.core import scene as scene_mod
+from hpmvs_tpu.ops import optimizer as popt
+from hpmvs_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def built(plane_scene):
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=30, LM_ITERS=6)
+    scene = scene_mod.build_scene(plane_scene.model, opt,
+                                  images=plane_scene.images)
+    pack = depth_mod.build_depth_pack(np.asarray(scene.ctx.imgs.width),
+                                      np.asarray(scene.ctx.imgs.height))
+    seeds = scene_mod.make_seed_patches(plane_scene.model, scene, opt)
+    return scene, opt, pack, seeds
+
+
+def test_mesh_shapes():
+    m = pmesh.make_mesh(8)
+    assert m.devices.size == 8
+    assert m.axis_names == ("dp", "sp")
+    m2 = pmesh.make_mesh(8, shape=(4, 2))
+    assert m2.devices.shape == (4, 2)
+
+
+def test_sharded_step_matches_single_device(built):
+    """The 8-device sharded wavefront step must produce the same patches as
+    the single-device pipeline (same math, sharded batch) and a consistent
+    min-reduced depth buffer."""
+    scene, opt, pack, (c, n, s, v, _) = built
+    m = pmesh.make_mesh(8, shape=(2, 4))
+    step, n_shards = pmesh.sharded_optimize_step(m, scene.ctx, opt, pack)
+
+    B = 32
+    (cp, np_, sp, vp), Bp = pmesh.pad_to_multiple(
+        (c[:B], n[:B], s[:B], v[:B]), B, n_shards,
+        (0.0, 0.0, 0.0, -1))
+    oc, on, os_, ov, ok, col, depth = step(
+        jnp.asarray(cp), jnp.asarray(np_), jnp.asarray(sp), jnp.asarray(vp),
+        pack.depth)
+
+    ref = popt.optimize_batch(scene.ctx, opt, jnp.asarray(cp),
+                              jnp.asarray(np_), jnp.asarray(sp),
+                              jnp.asarray(vp))
+    np.testing.assert_allclose(np.asarray(oc), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ref[4]))
+
+    # depth buffer: min-reduced result equals a single-device set_depths on
+    # the accepted patches
+    ok_np = np.asarray(ref[4])
+    v_ok = np.where(ok_np[:, None], np.asarray(ref[3]), -1)
+    ref_pack = depth_mod.set_depths(pack, scene.ctx.cams, ref[0], ref[2],
+                                    jnp.asarray(v_ok))
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_pack.depth),
+                               atol=1e-5)
+    assert (np.asarray(depth) < depth_mod.MAX_DEPTH).sum() > 0
+
+
+def test_halo_exchange_roundtrip(built):
+    """Padded all_to_all border migration: every sent patch arrives exactly
+    once at its destination shard."""
+    scene, opt, pack, _ = built
+    m = pmesh.make_mesh(8, shape=(2, 4))
+    n_shards = 8
+    B_per = 4  # patches per device
+    B = n_shards * B_per
+    rng = np.random.default_rng(0)
+    payload = rng.normal(size=(B, 5)).astype(np.float32)
+    payload[:, 0] = np.arange(B)  # id tag
+    block = rng.integers(0, n_shards, B).astype(np.int32)
+    block[::3] = -1  # some stay local
+
+    recv, valid = pmesh.halo_exchange(m, jnp.asarray(block),
+                                      jnp.asarray(payload), n_shards, B_per)
+    recv = np.asarray(recv).reshape(n_shards, n_shards * B_per, 5)
+    valid = np.asarray(valid).reshape(n_shards, n_shards * B_per)
+
+    sent_ids = sorted(payload[block >= 0, 0].tolist())
+    got_ids = sorted(recv[valid][:, 0].tolist())
+    assert got_ids == sent_ids
+    # each received patch is on the shard its block dictates
+    for shard in range(n_shards):
+        ids = recv[shard][valid[shard]][:, 0].astype(int)
+        assert all(block[i] % n_shards == shard for i in ids)
+
+
+def test_have_work_psum(built):
+    m = pmesh.make_mesh(8, shape=(2, 4))
+    counts = jnp.asarray(np.array([0, 1, 0, 2, 0, 0, 3, 0], np.int32))
+    assert pmesh.have_work_psum(m, counts) == 6
+    assert pmesh.have_work_psum(m, jnp.zeros(8, jnp.int32)) == 0
