@@ -69,6 +69,8 @@ class Options:
     SEED_DRIFT: float = 2.0            # Scene.cpp:171 (x scale)
 
     # ---- TPU-native engine knobs (no reference equivalent) ----
+    USE_WINDOWS: bool = True   # cached-window sampling (ops/windows.py)
+    WINDOW_SIZE: int = 24      # pixels per cached window side
     MAX_VIEWS: int = 16        # view slots per patch (reference: unbounded list)
     MAX_COVIS: int = 32        # covisible candidates considered per ref image
     LM_ITERS: int = 16         # damped-Newton iterations (replaces BOBYQA <=1000 evals)

@@ -21,19 +21,25 @@ import numpy as np
 
 
 class ImagePack(NamedTuple):
-    """All image pyramids packed into one flat planar buffer (device-ready)."""
-    tex: np.ndarray      # (3, total_px) float32, values 0..255, row-major planes
-    offset: np.ndarray   # (ncam, nlevel) int32 start index of each plane
+    """All image pyramids packed into one tall 2D buffer (device-ready).
+
+    Every (image, level) plane occupies rows [row0, row0+H) of `tex`, columns
+    [0, W). The 2D layout lets window fetches (ops/windows.py) lower to one
+    XLA gather with large contiguous slices -- near-bandwidth HBM traffic --
+    instead of millions of per-texel gathers.
+    """
+    tex: np.ndarray      # (total_rows, max_width, 3) float32, values 0..255
+    row0: np.ndarray     # (ncam, nlevel) int32 starting row of each plane
     width: np.ndarray    # (ncam, nlevel) int32
     height: np.ndarray   # (ncam, nlevel) int32
 
     @property
     def n_cameras(self) -> int:
-        return self.offset.shape[0]
+        return self.row0.shape[0]
 
     @property
     def n_levels(self) -> int:
-        return self.offset.shape[1]
+        return self.row0.shape[1]
 
 
 def load_image(path: str) -> np.ndarray:
@@ -123,26 +129,27 @@ def build_pyramid(img: np.ndarray, n_levels: int) -> list[np.ndarray]:
 
 
 def pack_pyramids(pyramids: Sequence[Sequence[np.ndarray]]) -> ImagePack:
-    """Pack per-image pyramids into one flat planar float32 buffer."""
+    """Pack per-image pyramids into one tall 2D float32 buffer."""
     ncam = len(pyramids)
     nlevel = len(pyramids[0])
-    offset = np.zeros((ncam, nlevel), dtype=np.int32)
+    row0 = np.zeros((ncam, nlevel), dtype=np.int32)
     width = np.zeros((ncam, nlevel), dtype=np.int32)
     height = np.zeros((ncam, nlevel), dtype=np.int32)
+    wmax = max(p.shape[1] for pyr in pyramids for p in pyr)
     pos = 0
-    planes = []
+    for ci in range(ncam):
+        for lv in range(nlevel):
+            im = pyramids[ci][lv]
+            row0[ci, lv] = pos
+            height[ci, lv], width[ci, lv] = im.shape[:2]
+            pos += im.shape[0]
+    tex = np.zeros((pos, wmax, 3), dtype=np.float32)
     for ci in range(ncam):
         for lv in range(nlevel):
             im = pyramids[ci][lv]
             h, w = im.shape[:2]
-            offset[ci, lv] = pos
-            width[ci, lv] = w
-            height[ci, lv] = h
-            planes.append(im.reshape(h * w, 3))
-            pos += h * w
-    flat = np.concatenate(planes, axis=0).astype(np.float32)  # (total, 3)
-    tex = np.ascontiguousarray(flat.T)                        # (3, total)
-    return ImagePack(tex=tex, offset=offset, width=width, height=height)
+            tex[row0[ci, lv]:row0[ci, lv] + h, :w] = im
+    return ImagePack(tex=tex, row0=row0, width=width, height=height)
 
 
 def load_scene_images(nvm_cameras, n_levels: int) -> ImagePack:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from hpmvs_tpu.config import Options
 from hpmvs_tpu.geom import camera as cam_ops
 from hpmvs_tpu.ops import sampling
+from hpmvs_tpu.ops import windows as win_ops
 
 INVALID = -1
 GN_EPS = 1e-5
@@ -67,25 +68,44 @@ def _compact(values, valid):
     return jnp.where(idx < count[..., None], vals, INVALID)
 
 
+def _compact_order(valid):
+    """Slot permutation realizing the stable compaction (single patch)."""
+    return jnp.argsort(jnp.logical_not(valid), stable=True)
+
+
+def _permute_ws(ws, order):
+    """Reorder the per-slot window cache alongside a view-slot permutation."""
+    if ws is None:
+        return None
+    return win_ops.WindowState(win=ws.win[order], ox=ws.ox[order],
+                               oy=ws.oy[order], level=ws.level[order])
+
+
 # ---------------------------------------------------------------------------
 # Single-patch stages (vmapped over the batch by optimize_batch).
 # ---------------------------------------------------------------------------
 
-def _sample_views(ctx, opt: Options, views, center, scale, xax, yax, zax):
+def _sample_views(ctx, opt: Options, views, center, scale, xax, yax, zax,
+                  ws=None):
     """Sample the 7x7 texture in every view slot. Returns (tex (K,49,3),
-    valid (K,))."""
+    valid (K,)). With a window cache `ws`, samples densely from the cached
+    windows instead of gathering from HBM."""
     ci = jnp.maximum(views, 0)
-    tex, valid = sampling.sample_texture(
-        ctx.cams, ctx.imgs, ci, jnp.broadcast_to(center, ci.shape + (3,)),
-        jnp.broadcast_to(scale, ci.shape), jnp.broadcast_to(xax, ci.shape + (3,)),
-        jnp.broadcast_to(yax, ci.shape + (3,)),
-        jnp.broadcast_to(zax, ci.shape + (3,)),
-        jnp.cos(opt.MAX_ANGLE), opt.MAXLEVEL - 1)
+    args = (ci, jnp.broadcast_to(center, ci.shape + (3,)),
+            jnp.broadcast_to(scale, ci.shape),
+            jnp.broadcast_to(xax, ci.shape + (3,)),
+            jnp.broadcast_to(yax, ci.shape + (3,)),
+            jnp.broadcast_to(zax, ci.shape + (3,)),
+            jnp.cos(opt.MAX_ANGLE), opt.MAXLEVEL - 1)
+    if ws is None:
+        tex, valid = sampling.sample_texture(ctx.cams, ctx.imgs, *args)
+    else:
+        tex, valid = win_ops.sample_from_windows(ctx.cams, ctx.imgs, ws, *args)
     return tex, valid & (views >= 0)
 
 
 def _set_inccs(ctx, opt: Options, views, center, normal, scale, ref_slot,
-               robust: bool):
+               robust: bool, ws=None):
     """PatchOptimizer::setINCCs (PatchOptimizer.cpp:448-474): per-slot
     1 - NCC against the texture of slot `ref_slot` (0 for that slot,
     2 for failed samples)."""
@@ -93,7 +113,8 @@ def _set_inccs(ctx, opt: Options, views, center, normal, scale, ref_slot,
     xax, yax, zax = sampling.patch_axes(ctx.cams, ref_ci, normal, scale)
     # the reference passes pNormal_ as the sampling z-axis here
     nz = sampling.normalize3(normal)
-    tex, valid = _sample_views(ctx, opt, views, center, scale, xax, yax, nz)
+    tex, valid = _sample_views(ctx, opt, views, center, scale, xax, yax, nz,
+                               ws)
     ref_tex = tex[ref_slot]
     ref_ok = valid[ref_slot]
     vals = 1.0 - sampling.ncc(ref_tex[None], tex)
@@ -144,17 +165,22 @@ def _add_images(ctx, opt: Options, center, normal, scale, views):
     return new_views, ok
 
 
-def _filter_ncc(ctx, opt: Options, center, normal, scale, views, alpha):
+def _filter_ncc(ctx, opt: Options, center, normal, scale, views, alpha,
+                ws=None):
     """PatchOptimizer::filterImagesNCC (PatchOptimizer.cpp:138-152)."""
-    inccs = _set_inccs(ctx, opt, views, center, normal, scale, 0, robust=False)
+    inccs = _set_inccs(ctx, opt, views, center, normal, scale, 0,
+                       robust=False, ws=ws)
     keep = (views >= 0) & (inccs < 1.0 - alpha)
     keep = keep.at[0].set(views[0] >= 0)  # always keep the reference
-    new_views = _compact(views, keep)
+    order = _compact_order(keep)
+    count = jnp.sum(keep)
+    new_views = jnp.where(jnp.arange(views.shape[0]) < count, views[order],
+                          INVALID)
     ok = _nviews(new_views) >= opt.MIN_IMAGES_PER_PATCH
-    return new_views, ok
+    return new_views, ok, _permute_ws(ws, order)
 
 
-def _sort_images(ctx, opt: Options, center, normal, scale, views):
+def _sort_images(ctx, opt: Options, center, normal, scale, views, ws=None):
     """PatchOptimizer::sortImages (PatchOptimizer.cpp:183-223): greedy
     angle-weighted-scale ordering with 5-degree ray suppression."""
     k = views.shape[0]
@@ -185,21 +211,26 @@ def _sort_images(ctx, opt: Options, center, normal, scale, views):
     threshold = 1.0 - jnp.cos(opt.SORT_SUPPRESS_DEG * jnp.pi / 180.0)
 
     def body(i, state):
-        w, out = state
+        w, out, picks = state
         pick = jnp.argmin(w)
         out = out.at[i].set(jnp.where(w[pick] < BIG, c_views[pick], INVALID))
+        picks = picks.at[i].set(pick)
         # suppression reweighting of remaining entries
         ftmp = jnp.clip(1.0 - jnp.sum(c_rays[pick][None] * c_rays, axis=-1),
                         threshold / 2.0, threshold)
         w = w * (threshold / ftmp)
         w = w.at[pick].set(BIG)
-        return w, out
+        return w, out, picks
 
     out0 = jnp.full((k,), INVALID, dtype=views.dtype)
-    _, sorted_views = jax.lax.fori_loop(0, k, body, (c_w, out0))
+    picks0 = jnp.zeros((k,), jnp.int32)
+    _, sorted_views, picks = jax.lax.fori_loop(0, k, body,
+                                               (c_w, out0, picks0))
     ok = (_nviews(sorted_views) >= opt.MIN_IMAGES_PER_PATCH) \
         & (jnp.sum(cand) >= 2)
-    return sorted_views, ok
+    # composed permutation back to the original slots (for the window cache)
+    perm = order[picks]
+    return sorted_views, ok, _permute_ws(ws, perm)
 
 
 def _assure_angles(ctx, opt: Options, center, views):
@@ -216,18 +247,21 @@ def _assure_angles(ctx, opt: Options, center, views):
     return jnp.any(good)
 
 
-def _filter_by_angle(ctx, opt: Options, center, normal, views):
+def _filter_by_angle(ctx, opt: Options, center, normal, views, ws=None):
     """PatchOptimizer::filterImagesByAngle (PatchOptimizer.cpp:125-136)."""
     ci = jnp.maximum(views, 0)
     rays = sampling.normalize3(ctx.cams.center[ci] - center[None])
     keep = (views >= 0) & (jnp.sum(rays * normal[None], axis=-1)
                            > jnp.cos(opt.MAX_ANGLE))
-    new_views = _compact(views, keep)
+    order = _compact_order(keep)
+    count = jnp.sum(keep)
+    new_views = jnp.where(jnp.arange(views.shape[0]) < count, views[order],
+                          INVALID)
     ok = _nviews(new_views) >= opt.MIN_IMAGES_PER_PATCH
-    return new_views, ok
+    return new_views, ok, _permute_ws(ws, order)
 
 
-def _set_ref_image(ctx, opt: Options, center, normal, scale, views):
+def _set_ref_image(ctx, opt: Options, center, normal, scale, views, ws=None):
     """PatchOptimizer::setRefImage (PatchOptimizer.cpp:154-181): pick the
     view minimizing the summed robust incc against all others; swap to
     slot 0."""
@@ -236,17 +270,17 @@ def _set_ref_image(ctx, opt: Options, center, normal, scale, views):
 
     def sum_for(slot):
         inccs = _set_inccs(ctx, opt, views, center, normal, scale, slot,
-                           robust=True)
+                           robust=True, ws=ws)
         return jnp.sum(jnp.where(valid, inccs, 0.0))
 
     sums = jax.vmap(sum_for)(jnp.arange(k))
     sums = jnp.where(valid, sums, BIG)
     best = jnp.argmin(sums)
     # swap slot `best` with slot 0
-    v0 = views[0]
-    vb = views[best]
-    new_views = views.at[0].set(vb).at[best].set(v0)
-    return jnp.where(_nviews(views) <= 1, views, new_views)
+    noswap = _nviews(views) <= 1
+    best = jnp.where(noswap, 0, best)
+    order = jnp.arange(k).at[0].set(best).at[best].set(0)
+    return views[order], _permute_ws(ws, order)
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +288,7 @@ def _set_ref_image(ctx, opt: Options, center, normal, scale, views):
 # ---------------------------------------------------------------------------
 
 def _residuals(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
-               scale, views):
+               scale, views, ws=None):
     """Per-view robustified incc residual vector of the objective
     PatchOptimizer::objective_fn via setCenterNorm
     (PatchOptimizer.cpp:286-311, 401-414). x = (depth, angle1, angle2).
@@ -270,7 +304,8 @@ def _residuals(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
 
     ref_ci = jnp.maximum(views[0], 0)
     xax, yax, zax = sampling.patch_axes(ctx.cams, ref_ci, normal, scale)
-    tex, valid = _sample_views(ctx, opt, views, center, scale, xax, yax, zax)
+    tex, valid = _sample_views(ctx, opt, views, center, scale, xax, yax, zax,
+                               ws)
     ref_tex = tex[0]
     ref_ok = valid[0]
 
@@ -282,11 +317,11 @@ def _residuals(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
 
 
 def _objective(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
-               scale, views):
+               scale, views, ws=None):
     """Scalar objective: mean robustified incc over valid views, 2.0 when the
     reference sample fails or too few views remain (objective_fn:293-310)."""
     rho, n, ref_ok = _residuals(ctx, opt, x, ref_center, ref_ray, ax_x, ax_y,
-                                ax_z, scale, views)
+                                ax_z, scale, views, ws)
     mean = jnp.sum(rho) / jnp.maximum(n, 1)
     return jnp.where(ref_ok & (n >= opt.MIN_IMAGES_PER_PATCH - 1), mean, 2.0)
 
@@ -312,7 +347,7 @@ def _params_from_center_norm(center, normal, ref_center, ref_ray,
                       jnp.clip(x2 / opt.ANGLE_SCALE, -b, b)])
 
 
-def _optimize_patch(ctx, opt: Options, center, normal, scale, views):
+def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
     """Damped-Newton refinement of (depth, angle1, angle2), replacing the
     BOBYQA call in PatchOptimizer::optimizePatch (PatchOptimizer.cpp:322-382).
 
@@ -328,10 +363,10 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views):
 
     fn = functools.partial(_objective, ctx, opt, ref_center=ref_center,
                            ref_ray=ref_ray, ax_x=ax_x, ax_y=ax_y, ax_z=ax_z,
-                           scale=scale, views=views)
+                           scale=scale, views=views, ws=ws)
     res_fn = functools.partial(_residuals, ctx, opt, ref_center=ref_center,
                                ref_ray=ref_ray, ax_x=ax_x, ax_y=ax_y,
-                               ax_z=ax_z, scale=scale, views=views)
+                               ax_z=ax_z, scale=scale, views=views, ws=ws)
 
     b = opt.ANGLE_BOUND
     lo = jnp.asarray([-BIG, -b, -b])
@@ -345,33 +380,53 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views):
         rho, n, ref_ok = res_fn(xx)
         return rho, n.astype(rho.dtype), ref_ok.astype(rho.dtype)
 
+    def mean_or_2(rho, n, ref_ok):
+        mean = jnp.sum(rho) / jnp.maximum(n, 1.0)
+        good = (ref_ok > 0) & (n >= opt.MIN_IMAGES_PER_PATCH - 1)
+        return jnp.where(good, mean, 2.0)
+
+    # finite-difference steps per parameter: depth in world units scaled by
+    # the patch footprint, angles in units of pi/48 (the optimizer stays
+    # derivative-free like the reference's BOBYQA; FD keeps every pass a
+    # plain primal evaluation -- pallas-kernel friendly)
+    h = jnp.stack([0.05 * scale, jnp.asarray(0.25), jnp.asarray(0.25)])
+
     def body(_, state):
-        x, f, lam = state
-        # one linearization pass: primal residuals + 3 forward tangents.
+        x, rho, n, ref_ok, f, lam = state
+        # FD Jacobian of the residual vector: 3 primal evals
+        cols = []
+        for i in range(3):
+            rho_i, _, _ = res_vec(x + h[i] * eye3[i])
+            cols.append((rho_i - rho) / h[i])
+        J = jnp.stack(cols)                                  # (3, K)
         # Gauss-Newton on rho = r^2: grad f = sum_v J_v / n,
-        # H ~= sum_v J_v J_v^T / (2 rho_v) / n  -- PSD, no second-order AD
-        # through the gathers (much cheaper than jacfwd(grad)).
-        (rho, n, ref_ok), lin = jax.linearize(res_vec, x)
-        n = jnp.maximum(n, 1.0)
-        J = jnp.stack([lin(eye3[i])[0] for i in range(3)])  # (3, K)
-        g = jnp.sum(J, axis=1) / n
+        # H ~= sum_v J_v J_v^T / (2 rho_v) / n -- PSD 3x3
+        n_f = jnp.maximum(n, 1.0)
+        g = jnp.sum(J, axis=1) / n_f
         w = 0.5 / (rho + eps)
-        H = (J * w[None, :]) @ J.T / n
+        H = (J * w[None, :]) @ J.T / n_f
         Hd = H + lam * jnp.diag(jnp.maximum(jnp.abs(jnp.diag(H)), 1e-6))
         step = -jnp.linalg.solve(Hd, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         x_new = jnp.clip(x + step, lo, hi)
-        f_new = fn(x_new)
+        rho_t, n_t, ref_t = res_vec(x_new)   # trial (reused as next primal)
+        f_new = mean_or_2(rho_t, n_t, ref_t)
         accept = f_new < f
         x = jnp.where(accept, x_new, x)
+        rho = jnp.where(accept, rho_t, rho)
+        n = jnp.where(accept, n_t, n)
+        ref_ok = jnp.where(accept, ref_t, ref_ok)
         f = jnp.where(accept, f_new, f)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-7, 1e7)
-        return x, f, lam
+        return x, rho, n, ref_ok, f, lam
 
-    f0 = fn(x0)
-    x, f, _ = jax.lax.fori_loop(0, opt.LM_ITERS, body,
-                                (x0, f0, jnp.asarray(opt.LM_LAMBDA0)))
+    rho0, n0, r0 = res_vec(x0)
+    f0 = mean_or_2(rho0, n0, r0)
+    x, _, _, _, f, _ = jax.lax.fori_loop(
+        0, opt.LM_ITERS, body,
+        (x0, rho0, n0, r0, f0, jnp.asarray(opt.LM_LAMBDA0)))
+    del fn
 
     # setCenterNorm(x) write-back (PatchOptimizer.cpp:401-414)
     new_center = ref_center + x[0] * ref_ray
@@ -399,7 +454,7 @@ def _get_color(ctx, opt: Options, center, scale, views):
     h = ctx.imgs.height[ci, lvl].astype(uvw.dtype)
     gx = jnp.clip(uvw[:, 0], 0.0, jnp.maximum(w - 2.0, 0.0))
     gy = jnp.clip(uvw[:, 1], 0.0, jnp.maximum(h - 2.0, 0.0))
-    cols = sampling.bilinear(ctx.imgs.tex, ctx.imgs.offset, ctx.imgs.width,
+    cols = sampling.bilinear(ctx.imgs.tex, ctx.imgs.row0, ctx.imgs.width,
                              ci, lvl, gx, gy)              # (K, 3)
     norms = jnp.where(valid, jnp.linalg.norm(cols, axis=-1), BIG)
     order = jnp.argsort(norms)
@@ -409,37 +464,50 @@ def _get_color(ctx, opt: Options, center, scale, views):
     return jnp.where(jnp.linalg.norm(med) > 250.0, first, med)
 
 
+def _fetch_ws(ctx, opt: Options, views, center, scale):
+    """Window fetch for the current view slots (once per pipeline half)."""
+    ci = jnp.maximum(views, 0)
+    return win_ops.fetch_windows(
+        ctx.cams, ctx.imgs, ci, jnp.broadcast_to(center, ci.shape + (3,)),
+        jnp.broadcast_to(scale, ci.shape), opt.MAXLEVEL - 1, opt.WINDOW_SIZE)
+
+
 def _run_one(ctx, opt: Options, center, normal, scale, views):
     """Full runOptimization + write-back for a single patch (all slots static).
 
     Failures do not early-out (everything is traced); the `ok` flag accumulates
-    every stage's success exactly as the reference's early returns would."""
+    every stage's success exactly as the reference's early returns would.
+    With opt.USE_WINDOWS, pixel windows are fetched twice (before and after
+    the refinement moves the patch) and every sampling pass runs gather-free
+    against the cache."""
     normal = sampling.normalize3(normal)
     views, ok = _add_images(ctx, opt, center, normal, scale, views)
-    views, ok1 = _filter_ncc(ctx, opt, center, normal, scale, views,
-                             opt.NCC_ALPHA_1)
+    ws = _fetch_ws(ctx, opt, views, center, scale) if opt.USE_WINDOWS else None
+    views, ok1, ws = _filter_ncc(ctx, opt, center, normal, scale, views,
+                                 opt.NCC_ALPHA_1, ws)
     ok &= ok1
-    views, ok2 = _sort_images(ctx, opt, center, normal, scale, views)
+    views, ok2, ws = _sort_images(ctx, opt, center, normal, scale, views, ws)
     ok &= ok2
     ok &= _assure_angles(ctx, opt, center, views)
 
     new_center, new_normal, ok3, resid = _optimize_patch(
-        ctx, opt, center, normal, scale, views)
+        ctx, opt, center, normal, scale, views, ws)
     ok &= ok3
     center = jnp.where(ok, new_center, center)
     normal = jnp.where(ok, sampling.normalize3(new_normal), normal)
 
     views, ok4 = _add_images(ctx, opt, center, normal, scale, views)
     ok &= ok4
-    views, ok5 = _filter_ncc(ctx, opt, center, normal, scale, views,
-                             opt.NCC_ALPHA_2)
+    ws = _fetch_ws(ctx, opt, views, center, scale) if opt.USE_WINDOWS else None
+    views, ok5, ws = _filter_ncc(ctx, opt, center, normal, scale, views,
+                                 opt.NCC_ALPHA_2, ws)
     ok &= ok5
-    views, ok6 = _filter_by_angle(ctx, opt, center, normal, views)
+    views, ok6, ws = _filter_by_angle(ctx, opt, center, normal, views, ws)
     ok &= ok6
     ok &= _assure_angles(ctx, opt, center, views)
-    views = _set_ref_image(ctx, opt, center, normal, scale, views)
-    views, ok7 = _filter_ncc(ctx, opt, center, normal, scale, views,
-                             opt.NCC_ALPHA_2)
+    views, ws = _set_ref_image(ctx, opt, center, normal, scale, views, ws)
+    views, ok7, ws = _filter_ncc(ctx, opt, center, normal, scale, views,
+                                 opt.NCC_ALPHA_2, ws)
     ok &= ok7
 
     color = _get_color(ctx, opt, center, scale, views)

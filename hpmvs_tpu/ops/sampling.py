@@ -31,31 +31,23 @@ def normalize3(v, eps=1e-12):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
-def bilinear(tex, offset, width, ci, level, x, y):
-    """Bilinear RGB fetch from the packed planar buffer.
+def bilinear(tex, row0, width, ci, level, x, y):
+    """Bilinear RGB fetch from the packed 2D buffer.
 
-    tex: (3, total_px); offset/width: (ncam, nlevel) tables; ci/level/x/y:
+    tex: (rows, wmax, 3); row0/width: (ncam, nlevel) tables; ci/level/x/y:
     broadcastable (...,) arrays. Matches Image::getColor (Image.h:89-115):
     integer truncation of the top-left texel (callers guarantee x,y >= 0).
     Returns (..., 3) float32.
     """
-    base = offset[ci, level]
-    w = width[ci, level]
+    base = row0[ci, level]
     lx = jnp.floor(x).astype(jnp.int32)
     ly = jnp.floor(y).astype(jnp.int32)
-    dx1 = x - lx
-    dy1 = y - ly
-    i00 = base + ly * w + lx
-    i10 = i00 + 1
-    i01 = i00 + w
-    i11 = i01 + 1
-
-    def fetch(idx):
-        return tex[:, idx]  # (3, ...)
-
-    c = (fetch(i00) * ((1 - dx1) * (1 - dy1)) + fetch(i10) * (dx1 * (1 - dy1))
-         + fetch(i01) * ((1 - dx1) * dy1) + fetch(i11) * (dx1 * dy1))
-    return jnp.moveaxis(c, 0, -1)
+    dx1 = (x - lx)[..., None]
+    dy1 = (y - ly)[..., None]
+    r = base + ly
+    c = (tex[r, lx] * ((1 - dx1) * (1 - dy1)) + tex[r, lx + 1] * (dx1 * (1 - dy1))
+         + tex[r + 1, lx] * ((1 - dx1) * dy1) + tex[r + 1, lx + 1] * (dx1 * dy1))
+    return c
 
 
 def patch_axes(cams, ref_ci, normal, scale):
@@ -120,7 +112,7 @@ def sample_texture(cams, imgs, ci, center, scale, xaxis, yaxis, zaxis,
     gx = jnp.clip(gx, 0.0, jnp.maximum(w[..., None] - 2.0, 0.0))
     gy = jnp.clip(gy, 0.0, jnp.maximum(h[..., None] - 2.0, 0.0))
 
-    tex = bilinear(imgs.tex, imgs.offset, imgs.width,
+    tex = bilinear(imgs.tex, imgs.row0, imgs.width,
                    ci[..., None], level[..., None], gx, gy)  # (..., 49, 3)
     return normalize_tex(tex), valid
 
