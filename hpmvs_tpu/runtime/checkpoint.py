@@ -1,0 +1,118 @@
+"""Checkpoint / resume for the wavefront engine.
+
+The reference has no checkpoint format; its resumable state is the populated
+octree itself via CellProcessor::initFromTree(skip_clean=true)
+(CellProcessor.cpp:422-455) plus progressive PLY snapshots (SURVEY.md
+section 5). Here the full engine state -- patch SoA, octree cells, priority
+queues, depth buffers, statistics -- serializes to one .npz, and
+requeue_from_tree reproduces initFromTree's skip-clean semantics so a
+checkpoint (or an imported tree) resumes mid-reconstruction.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from hpmvs_tpu.core.octree import LinearOctree
+
+
+def save_checkpoint(engine, path: str) -> None:
+    p = engine.patches
+    t = engine.tree
+    n = p.n
+    queue_prios = np.asarray(sorted(engine.queue.keys()), np.int64)
+    queue_lists = [np.asarray(engine.queue[int(pr)], np.int64)
+                   for pr in queue_prios]
+    queue_flat = (np.concatenate(queue_lists) if queue_lists
+                  else np.zeros((0,), np.int64))
+    queue_sizes = np.asarray([len(q) for q in queue_lists], np.int64)
+
+    np.savez_compressed(
+        path,
+        patch_center=p.center[:n], patch_normal=p.normal[:n],
+        patch_scale=p.scale[:n], patch_views=p.views[:n],
+        patch_color=p.color[:n], patch_flatness=p.flatness[:n],
+        patch_expanded=p.expanded[:n], patch_prio_red=p.prio_red[:n],
+        patch_alive=p.alive[:n], patch_cell=p.cell[:n],
+        tree_center=t.center, tree_width=np.asarray([t.width]),
+        tree_max_level=np.asarray([t.max_level]),
+        tree_level=t.level[:t.n], tree_key=t.key[:t.n],
+        tree_alive=t.alive[:t.n],
+        depth=np.asarray(engine.pack.depth),
+        queue_prios=queue_prios, queue_sizes=queue_sizes,
+        queue_flat=queue_flat,
+        stats=np.frombuffer(json.dumps(dict(engine.stats)).encode(),
+                            dtype=np.uint8),
+    )
+
+
+def load_checkpoint(engine, path: str) -> None:
+    """Restore engine state in place (engine must be built on the same
+    scene/model: cameras + images are reconstructed from the NVM, not stored)."""
+    z = np.load(path, allow_pickle=False)
+    n = z["patch_center"].shape[0]
+    p = engine.patches
+    if n > 0:
+        p.alloc(n)
+    p.n = n
+    p.center[:n] = z["patch_center"]
+    p.normal[:n] = z["patch_normal"]
+    p.scale[:n] = z["patch_scale"]
+    p.views[:n] = z["patch_views"]
+    p.color[:n] = z["patch_color"]
+    p.flatness[:n] = z["patch_flatness"]
+    p.expanded[:n] = z["patch_expanded"]
+    p.prio_red[:n] = z["patch_prio_red"]
+    p.alive[:n] = z["patch_alive"]
+    p.cell[:n] = z["patch_cell"]
+
+    tree = LinearOctree(z["tree_center"], float(z["tree_width"][0]),
+                        int(z["tree_max_level"][0]))
+    nt = z["tree_level"].shape[0]
+    if nt > 0:
+        tree.alloc_cells(z["tree_level"], z["tree_key"])
+        tree.alive[:nt] = z["tree_alive"]
+        tree._index = None
+    engine.tree = tree
+
+    engine.cell_patches.clear()
+    for pid in np.nonzero(p.alive[:n])[0]:
+        cid = int(p.cell[pid])
+        if cid >= 0:
+            engine.cell_patches[cid].append(int(pid))
+
+    engine.pack = engine.pack._replace(depth=jnp.asarray(z["depth"]))
+
+    engine.queue.clear()
+    pos = 0
+    for pr, sz in zip(z["queue_prios"], z["queue_sizes"]):
+        engine.queue[int(pr)] = [int(c) for c in
+                                 z["queue_flat"][pos:pos + sz]]
+        pos += sz
+
+    stats = json.loads(bytes(z["stats"]).decode())
+    engine.stats.clear()
+    engine.stats.update(stats)
+
+
+def requeue_from_tree(engine, skip_clean: bool = True) -> int:
+    """CellProcessor::initFromTree (CellProcessor.cpp:422-455): rebuild the
+    priority queues from the populated tree, optionally skipping cells whose
+    single patch is already expanded (the resume path). Returns #queued."""
+    engine.queue.clear()
+    t = engine.tree
+    queued = 0
+    for cid in np.nonzero(t.alive[:t.n])[0]:
+        plist = engine.cell_patches.get(int(cid))
+        if not plist:
+            continue
+        if (skip_clean and len(plist) == 1
+                and engine.patches.expanded[plist[0]]):
+            continue
+        level = int(t.level[cid])
+        engine._push(level * 10, int(cid))
+        queued += 1
+    return queued

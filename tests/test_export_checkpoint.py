@@ -1,0 +1,131 @@
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.io import export as export_mod
+from hpmvs_tpu.io import nvm as nvm_io
+from hpmvs_tpu.io import ply as ply_io
+from hpmvs_tpu.runtime import checkpoint as ckpt
+from hpmvs_tpu.runtime.wavefront import Engine
+from hpmvs_tpu.testing import make_plane_scene
+
+
+@pytest.fixture(scope="module")
+def seeded_engine():
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=20, MAX_TREE_LEVEL=6,
+                              PATCH_FINAL_MINLEVEL=4, LM_ITERS=8)
+    scene = make_plane_scene(n_cams=5, imgsize=192, n_points=60, seed=8)
+    eng = Engine(scene.model, opt, images=scene.images)
+    eng.seed()
+    # run two priority levels so there is real multi-level state
+    for prio in range(60):
+        eng.process_priority_step(prio)
+        if not eng.have_work():
+            break
+    return scene, opt, eng
+
+
+def test_save_as_nvm_roundtrip(seeded_engine, tmp_path):
+    scene, opt, eng = seeded_engine
+    folder = str(tmp_path / "nvm_export")
+    path = export_mod.save_as_nvm(eng, folder)
+    models = nvm_io.read_nvm(path)
+    assert len(models) == 1
+    m = models[0]
+    assert len(m.cameras) == eng.scene.n_cameras
+    assert m.n_points == eng.n_alive()
+    # exported camera centers match
+    centers = np.asarray(eng.scene.ctx.cams.center)
+    got = np.stack([c.c for c in m.cameras])
+    np.testing.assert_allclose(got, centers, atol=1e-4)
+    # measurement projections are inside the images
+    assert m.meas_img.min() >= 0
+    assert m.meas_img.max() < eng.scene.n_cameras
+
+
+def test_save_pmats_and_pose(seeded_engine, tmp_path):
+    scene, opt, eng = seeded_engine
+    p1 = str(tmp_path / "pmats.txt")
+    p2 = str(tmp_path / "pose.txt")
+    export_mod.save_pmats(eng, p1)
+    export_mod.save_pose_mats(eng, p2)
+    rows1 = open(p1).read().strip().split("\n")
+    rows2 = open(p2).read().strip().split("\n")
+    assert len(rows1) == 3 * eng.scene.n_cameras
+    assert len(rows2) == 3 * eng.scene.n_cameras
+    first = [float(x) for x in rows1[0].split(",")]
+    P0 = np.asarray(eng.scene.ctx.cams.P)[0, 0]
+    np.testing.assert_allclose(first, P0[0], rtol=1e-6)
+
+
+def test_visualize_depths(seeded_engine, tmp_path):
+    scene, opt, eng = seeded_engine
+    folder = str(tmp_path / "viz")
+    path = export_mod.visualize_depths(eng, folder)
+    assert os.path.exists(path)
+    html = open(path).read()
+    assert "<table" in html
+    files = os.listdir(folder)
+    # color + combined + per-level image per camera
+    assert len([f for f in files if f.endswith(".jpg")]) \
+        == eng.scene.n_cameras * (2 + opt.n_levels)
+
+
+def test_tree_to_ply(seeded_engine, tmp_path):
+    scene, opt, eng = seeded_engine
+    prefix = str(tmp_path / "tree")
+    export_mod.tree_to_ply(eng, prefix, no_scalar=False)
+    pts = ply_io.read_ply_xyz(prefix + "-points.ply")
+    assert pts.shape[0] == eng.n_alive()
+    tree_txt = open(prefix + "-tree.ply").read()
+    n_cells = int(np.count_nonzero(eng.tree.alive[:eng.tree.n]))
+    assert f"element vertex {8 * n_cells}" in tree_txt
+    assert f"element face {6 * n_cells}" in tree_txt
+
+
+def test_checkpoint_resume(seeded_engine, tmp_path):
+    scene, opt, eng = seeded_engine
+    path = str(tmp_path / "ckpt.npz")
+    ckpt.save_checkpoint(eng, path)
+
+    # fresh engine on the same scene, restore, compare state
+    eng2 = Engine(scene.model, opt, images=scene.images)
+    ckpt.load_checkpoint(eng2, path)
+    assert eng2.n_alive() == eng.n_alive()
+    np.testing.assert_allclose(eng2.patches.center[:eng2.patches.n],
+                               eng.patches.center[:eng.patches.n])
+    np.testing.assert_array_equal(np.asarray(eng2.pack.depth),
+                                  np.asarray(eng.pack.depth))
+    assert dict(eng2.queue) == dict(eng.queue)
+    assert eng2.tree.histogram().tolist() == eng.tree.histogram().tolist()
+
+    # resumed engine continues the reconstruction
+    before = eng2.n_alive()
+    for prio in range(opt.max_prio):
+        eng2.process_priority_step(prio)
+        if not eng2.have_work():
+            break
+    # reconstruction continued (final-level outlier removal may shrink the
+    # count somewhat, like the reference's flatness filtering)
+    assert eng2.n_alive() > 0.6 * before
+    err = np.abs(eng2.alive_arrays()[0][:, 2] - scene.plane_z)
+    assert np.median(err) < 0.02
+
+
+def test_requeue_from_tree_skip_clean(seeded_engine, tmp_path):
+    scene, opt, eng = seeded_engine
+    path = str(tmp_path / "ckpt2.npz")
+    ckpt.save_checkpoint(eng, path)
+    eng3 = Engine(scene.model, opt, images=scene.images)
+    ckpt.load_checkpoint(eng3, path)
+    # queue rebuilt from the tree: skip_clean skips expanded single-patch
+    # cells, full requeue touches every occupied cell
+    n_skip = ckpt.requeue_from_tree(eng3, skip_clean=True)
+    n_all = ckpt.requeue_from_tree(eng3, skip_clean=False)
+    n_cells = int(np.count_nonzero(eng3.tree.alive[:eng3.tree.n]))
+    assert n_all == n_cells
+    assert 0 <= n_skip <= n_all
