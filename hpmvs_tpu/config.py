@@ -70,10 +70,14 @@ class Options:
 
     # ---- TPU-native engine knobs (no reference equivalent) ----
     USE_WINDOWS: bool = True   # cached-window sampling (ops/windows.py)
-    WINDOW_SIZE: int = 24      # pixels per cached window side
+    WINDOW_SIZE: int = 16      # pixels per cached window side
+    FAST_SETREF: bool = True   # setRefImage with shared slot-0 tangent frame
+                               # (K sampling passes instead of K^2; the
+                               # reference re-derives the frame per candidate
+                               # ref -- documented divergence)
     MAX_VIEWS: int = 16        # view slots per patch (reference: unbounded list)
     MAX_COVIS: int = 32        # covisible candidates considered per ref image
-    LM_ITERS: int = 16         # damped-Newton iterations (replaces BOBYQA <=1000 evals)
+    LM_ITERS: int = 12         # Gauss-Newton iterations (replaces BOBYQA <=1000 evals)
     LM_LAMBDA0: float = 1e-2   # initial Levenberg damping
     BATCH: int = 2048          # wavefront batch bucket size
     DTYPE: str = "float32"

@@ -23,6 +23,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from hpmvs_tpu.core import native
+
 MAX_LEVELS = 21  # 3*21 = 63 morton bits
 
 
@@ -203,6 +205,31 @@ class LinearOctree:
             anc[lv] = (np.unique(np.concatenate(parts)) if parts
                        else np.zeros((0,), np.uint64))
         self._index = {"occ": occ, "anc": anc}
+        # flattened per-level views for the native (C++) query path
+        nl = self.max_level + 1
+        anc_off = np.zeros(nl + 1, np.int64)
+        occ_off = np.zeros(nl + 1, np.int64)
+        anc_parts, occ_parts, cid_parts = [], [], []
+        for lv in range(nl):
+            a = anc[lv]
+            anc_off[lv + 1] = anc_off[lv] + len(a)
+            anc_parts.append(a)
+            if lv in occ:
+                k, cids = occ[lv]
+            else:
+                k = np.zeros((0,), np.uint64)
+                cids = np.zeros((0,), np.int64)
+            occ_off[lv + 1] = occ_off[lv] + len(k)
+            occ_parts.append(k)
+            cid_parts.append(cids.astype(np.int64))
+        self._index["anc_flat"] = (np.concatenate(anc_parts) if anc_parts
+                                   else np.zeros((0,), np.uint64))
+        self._index["anc_off"] = anc_off
+        self._index["occ_flat"] = (np.concatenate(occ_parts) if occ_parts
+                                   else np.zeros((0,), np.uint64))
+        self._index["occ_off"] = occ_off
+        self._index["occ_cid"] = (np.concatenate(cid_parts) if cid_parts
+                                  else np.zeros((0,), np.int64))
 
     def _idx(self):
         if self._index is None:
@@ -221,6 +248,10 @@ class LinearOctree:
         """Level of the leaf `at(p)` would return: 1 + deepest branch level
         containing p (0 when the tree is empty at p)."""
         idx = self._idx()
+        if native.available():
+            qmax = self.key_at(pts, self.max_level)
+            return native.structure_level(qmax, self.max_level,
+                                          idx["anc_flat"], idx["anc_off"])
         out = np.zeros((pts.shape[0],), np.int64)
         for lv in range(self.max_level + 1):
             anc = idx["anc"][lv]
@@ -234,6 +265,11 @@ class LinearOctree:
         """Occupied cell id containing each point, or -1 (leaves are
         disjoint, so at most one level matches)."""
         idx = self._idx()
+        if native.available():
+            qmax = self.key_at(pts, self.max_level)
+            return native.containing_cell(qmax, self.max_level,
+                                          idx["occ_flat"], idx["occ_off"],
+                                          idx["occ_cid"])
         out = np.full((pts.shape[0],), -1, np.int64)
         for lv, (keys, cids) in idx["occ"].items():
             q = self.key_at(pts, lv)
@@ -246,6 +282,11 @@ class LinearOctree:
     def lookup(self, levels: np.ndarray, keys: np.ndarray) -> np.ndarray:
         """Cell ids for exact (level, key) pairs, -1 if absent."""
         idx = self._idx()
+        if native.available():
+            return native.lookup_cells(np.asarray(levels, np.int64),
+                                       np.asarray(keys, np.uint64),
+                                       self.max_level, idx["occ_flat"],
+                                       idx["occ_off"], idx["occ_cid"])
         out = np.full(keys.shape, -1, np.int64)
         for lv, (k, cids) in idx["occ"].items():
             m = levels == lv

@@ -91,6 +91,7 @@ def build_scene(model: nvm_io.NvmModel, opt: Options,
     ctx = popt.SceneCtx(
         cams=cams,
         imgs=imgs._replace(tex=jnp.asarray(imgs.tex),
+                           texb=jnp.asarray(imgs.texb),
                            row0=jnp.asarray(imgs.row0),
                            width=jnp.asarray(imgs.width),
                            height=jnp.asarray(imgs.height)),

@@ -29,6 +29,11 @@ class ImagePack(NamedTuple):
     instead of millions of per-texel gathers.
     """
     tex: np.ndarray      # (total_rows, max_width, 3) float32, values 0..255
+    texb: np.ndarray     # (total_rows, nblk, 128) float32: the same rows with
+                         # interleaved x*3+c floats grouped into 128-wide
+                         # blocks -- the Mosaic-sliceable layout the pallas
+                         # window-fetch DMA kernel reads (minor dim always
+                         # full, so slices are tile-aligned)
     row0: np.ndarray     # (ncam, nlevel) int32 starting row of each plane
     width: np.ndarray    # (ncam, nlevel) int32
     height: np.ndarray   # (ncam, nlevel) int32
@@ -149,7 +154,14 @@ def pack_pyramids(pyramids: Sequence[Sequence[np.ndarray]]) -> ImagePack:
             im = pyramids[ci][lv]
             h, w = im.shape[:2]
             tex[row0[ci, lv]:row0[ci, lv] + h, :w] = im
-    return ImagePack(tex=tex, row0=row0, width=width, height=height)
+    # block-interleaved copy for the DMA fetch kernel (+1 spare block so a
+    # 2-block slab starting at the last real block stays in bounds)
+    nblk = -(-(wmax * 3) // 128) + 1
+    texb = np.zeros((pos, nblk * 128), dtype=np.float32)
+    texb[:, :wmax * 3] = tex.reshape(pos, wmax * 3)
+    texb = texb.reshape(pos, nblk, 128)
+    return ImagePack(tex=tex, texb=texb, row0=row0, width=width,
+                     height=height)
 
 
 def load_scene_images(nvm_cameras, n_levels: int) -> ImagePack:

@@ -268,12 +268,28 @@ def _set_ref_image(ctx, opt: Options, center, normal, scale, views, ws=None):
     k = views.shape[0]
     valid = views >= 0
 
-    def sum_for(slot):
-        inccs = _set_inccs(ctx, opt, views, center, normal, scale, slot,
-                           robust=True, ws=ws)
-        return jnp.sum(jnp.where(valid, inccs, 0.0))
+    if opt.FAST_SETREF:
+        # one sampling pass with the slot-0 tangent frame; the K x K robust
+        # incc matrix comes from the K textures' pairwise dots
+        ref_ci = jnp.maximum(views[0], 0)
+        xax, yax, _ = sampling.patch_axes(ctx.cams, ref_ci, normal, scale)
+        nz = sampling.normalize3(normal)
+        tex, vv = _sample_views(ctx, opt, views, center, scale, xax, yax, nz,
+                                ws)
+        nccs = jnp.einsum("atc,btc->ab", tex, tex) / sampling.N_TEXELS
+        incc = sampling.robust_incc(1.0 - nccs)
+        pair_ok = vv[:, None] & vv[None, :]
+        incc = jnp.where(pair_ok, incc, 2.0)
+        diag = jnp.diag(jnp.where(vv, 0.0, 2.0))
+        incc = jnp.where(jnp.eye(k, dtype=bool), diag, incc)
+        sums = jnp.sum(jnp.where(valid[None, :], incc, 0.0), axis=1)
+    else:
+        def sum_for(slot):
+            inccs = _set_inccs(ctx, opt, views, center, normal, scale, slot,
+                               robust=True, ws=ws)
+            return jnp.sum(jnp.where(valid, inccs, 0.0))
 
-    sums = jax.vmap(sum_for)(jnp.arange(k))
+        sums = jax.vmap(sum_for)(jnp.arange(k))
     sums = jnp.where(valid, sums, BIG)
     best = jnp.argmin(sums)
     # swap slot `best` with slot 0
@@ -286,6 +302,102 @@ def _set_ref_image(ctx, opt: Options, center, normal, scale, views, ws=None):
 # ---------------------------------------------------------------------------
 # The NCC objective + damped-Newton refinement (replaces nlopt BOBYQA).
 # ---------------------------------------------------------------------------
+
+def _precompute_res(ctx, opt: Options, center, scale, views, ws):
+    """Hoist the per-view projection terms out of the GN loop.
+
+    With center(x) = ref_center + x0*ref_ray, the homogeneous projection is
+    affine in x0: P.[center;1] = P.[ref_center;1] + x0 * P3.ref_ray, so each
+    pass needs no P-table gathers, level selection or 3x4 expansion."""
+    ref_ci = jnp.maximum(views[0], 0)
+    ci = jnp.maximum(views, 0)
+    ref_center = center
+    ref_ray = sampling.normalize3(center - ctx.cams.center[ref_ci])
+    ax_x = sampling.normalize3(ctx.cams.xaxis[ref_ci])
+    ax_y = sampling.normalize3(ctx.cams.yaxis[ref_ci])
+    ax_z = sampling.normalize3(ctx.cams.zaxis[ref_ci])
+
+    P = ctx.cams.P[ci, ws.level]                     # (K, 3, 4)
+    Pl3 = P[..., :3]                                 # (K, 3, 3)
+    ch = jnp.concatenate([ref_center, jnp.ones((1,), center.dtype)])
+    Pc_h = jnp.einsum("kij,j->ki", P, ch)            # (K, 3)
+    Pr = jnp.einsum("kij,j->ki", Pl3, ref_ray)       # (K, 3)
+    wlim = ctx.imgs.width[ci, ws.level].astype(center.dtype)
+    hlim = ctx.imgs.height[ci, ws.level].astype(center.dtype)
+    cam_c = ctx.cams.center[ci]                      # (K, 3)
+    return (ref_center, ref_ray, ax_x, ax_y, ax_z, cam_c, Pl3, Pc_h, Pr,
+            wlim, hlim)
+
+
+def _residuals_fast(opt: Options, x, pre, scale, views, ws):
+    """GN-loop residual pass on the precomputed terms. Same math as
+    _residuals (objective_fn via setCenterNorm, PatchOptimizer.cpp:286-311,
+    401-414) with the sampling level pinned to the window's level."""
+    (ref_center, ref_ray, ax_x, ax_y, ax_z, cam_c, Pl3, Pc_h, Pr,
+     wlim, hlim) = pre
+    W = ws.win.shape[-2]
+    center = ref_center + x[0] * ref_ray
+    a1 = x[1] * opt.ANGLE_SCALE
+    a2 = x[2] * opt.ANGLE_SCALE
+    fx = jnp.sin(a1) * jnp.cos(a2)
+    fy = jnp.sin(a2)
+    fz = -jnp.cos(a1) * jnp.cos(a2)
+    normal = ax_x * fx + ax_y * fy + ax_z * fz
+
+    # patch axes (calculatePatchAxis, PatchOptimizer.cpp:532-548)
+    z = sampling.normalize3(normal)
+    y = sampling.normalize3(jnp.cross(z, ax_x))
+    xax = sampling.normalize3(jnp.cross(y, z)) * scale
+    yax = y * scale * jnp.dot(y, ax_y)
+
+    # projections, affine in x0
+    ph_c = Pc_h + x[0] * Pr                          # (K, 3)
+    ph_x = ph_c + Pl3 @ xax
+    ph_y = ph_c + Pl3 @ yax
+    front = ph_c[:, 2] > 0.0
+    wc = jnp.where(front, ph_c[:, 2], 1.0)
+    c2 = ph_c[:, :2] / wc[:, None]
+    dx = ph_x[:, :2] / jnp.where(ph_x[:, 2] != 0, ph_x[:, 2], 1.0)[:, None] - c2
+    dy = ph_y[:, :2] / jnp.where(ph_y[:, 2] != 0, ph_y[:, 2], 1.0)[:, None] - c2
+
+    ray = sampling.normalize3(cam_c - center[None])
+    angle_ok = ray @ z >= jnp.cos(opt.MAX_ANGLE)
+
+    half = sampling.PATCH_SIZE / 2.0
+    tl = c2 - half * dx - half * dy
+    tr = c2 + half * dx - half * dy
+    bl = c2 - half * dx + half * dy
+    br = c2 + half * dx + half * dy
+    mn = jnp.minimum(jnp.minimum(tl, tr), jnp.minimum(bl, br))
+    mx = jnp.maximum(jnp.maximum(tl, tr), jnp.maximum(bl, br))
+    m = 3.0
+    bounds_ok = ((mn[:, 0] >= m) & (mn[:, 1] >= m)
+                 & (mx[:, 0] < wlim - m) & (mx[:, 1] < hlim - m))
+    org = jnp.stack([ws.ox, ws.oy], axis=-1).astype(c2.dtype)
+    cover_ok = (jnp.all(mn - org >= 0.0, axis=-1)
+                & jnp.all(mx - org <= W - 1.0, axis=-1))
+    valid = front & angle_ok & bounds_ok & cover_ok & (views >= 0)
+
+    P2 = sampling.PATCH_SIZE
+    ii = jnp.arange(P2, dtype=c2.dtype)
+    gx = (tl[:, None, None, 0] + ii[None, :] * dx[:, None, None, 0]
+          + ii[:, None] * dy[:, None, None, 0])
+    gy = (tl[:, None, None, 1] + ii[None, :] * dx[:, None, None, 1]
+          + ii[:, None] * dy[:, None, None, 1])
+    gx = gx.reshape(gx.shape[0], P2 * P2) - ws.ox[:, None].astype(c2.dtype)
+    gy = gy.reshape(gy.shape[0], P2 * P2) - ws.oy[:, None].astype(c2.dtype)
+    gx = jnp.clip(gx, 0.0, W - 1.0)
+    gy = jnp.clip(gy, 0.0, W - 1.0)
+
+    tex = sampling.normalize_tex(win_ops.hat_sample(ws.win, gx, gy))
+    ref_tex = tex[0]
+    ref_ok = valid[0]
+    others = valid & (jnp.arange(views.shape[0]) > 0)
+    incc = sampling.robust_incc(1.0 - sampling.ncc(ref_tex[None], tex))
+    rho = jnp.where(others, incc, 0.0)
+    n = jnp.sum(others)
+    return rho, n, ref_ok
+
 
 def _residuals(ctx, opt: Options, x, ref_center, ref_ray, ax_x, ax_y, ax_z,
                scale, views, ws=None):
@@ -361,12 +473,15 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
     ax_y = sampling.normalize3(ctx.cams.yaxis[ref_ci])
     ax_z = sampling.normalize3(ctx.cams.zaxis[ref_ci])
 
-    fn = functools.partial(_objective, ctx, opt, ref_center=ref_center,
-                           ref_ray=ref_ray, ax_x=ax_x, ax_y=ax_y, ax_z=ax_z,
-                           scale=scale, views=views, ws=ws)
-    res_fn = functools.partial(_residuals, ctx, opt, ref_center=ref_center,
-                               ref_ray=ref_ray, ax_x=ax_x, ax_y=ax_y,
-                               ax_z=ax_z, scale=scale, views=views, ws=ws)
+    if ws is not None:
+        pre = _precompute_res(ctx, opt, center, scale, views, ws)
+        res_fn = functools.partial(_residuals_fast, opt, pre=pre, scale=scale,
+                                   views=views, ws=ws)
+    else:
+        res_fn = functools.partial(_residuals, ctx, opt,
+                                   ref_center=ref_center, ref_ray=ref_ray,
+                                   ax_x=ax_x, ax_y=ax_y, ax_z=ax_z,
+                                   scale=scale, views=views, ws=ws)
 
     b = opt.ANGLE_BOUND
     lo = jnp.asarray([-BIG, -b, -b])
@@ -426,7 +541,6 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
     x, _, _, _, f, _ = jax.lax.fori_loop(
         0, opt.LM_ITERS, body,
         (x0, rho0, n0, r0, f0, jnp.asarray(opt.LM_LAMBDA0)))
-    del fn
 
     # setCenterNorm(x) write-back (PatchOptimizer.cpp:401-414)
     new_center = ref_center + x[0] * ref_ray

@@ -1,10 +1,18 @@
-"""Pallas TPU kernel: batched window fetch via pipelined async DMA.
+"""Pallas TPU kernel: batched window fetch (DMA + lane-roll compaction).
 
-Replaces the vmapped dynamic_slice in ops/windows.fetch_windows, which XLA
-lowers to a sequential per-window slice loop (~2us each, ~34ms for a 16k-pair
-batch). Here the window origins are scalar-prefetched and the kernel issues
-one async HBM->HBM DMA per window with a sliding wait window, so transfers
-overlap and the batch moves at near HBM bandwidth.
+Replaces the vmapped dynamic_slice in ops/windows.fetch_windows. XLA lowers
+per-window slices to a sequential per-element gather (~34 ms for a 16k-pair
+batch); this kernel instead
+
+  1. double-buffered async-DMAs a (W, 2, 128)-float slab per window from the
+     block-interleaved texture (hpmvs_tpu/image/pyramid.py `texb`) -- every
+     slice is tile-aligned because the minor dim is always the full 128 block,
+  2. concatenates the two blocks, lane-rotates by the window's in-block float
+     offset (tpu dynamic_rotate), and writes the compacted (W, 128) window
+     whose first 72 floats are the interleaved 24x24x3 pixels.
+
+One grid step per window; the output block pipeline overlaps the VMEM->HBM
+writeback with the next window's DMA.
 """
 
 from __future__ import annotations
@@ -16,57 +24,73 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# number of DMAs in flight
-_INFLIGHT = 8
+
+_T = 8  # windows per grid step (amortizes grid/pipeline overhead)
 
 
-def _fetch_kernel(rows_ref, cols_ref, tex_ref, out_ref, sems, *, W: int,
-                  n: int):
-    def issue(i):
+def _kernel(rows_ref, blk_ref, off_ref, tex_ref, out_ref, slab, sems, *,
+            W: int, n_steps: int):
+    i = pl.program_id(0)
+
+    def dma(step, j):
+        slot = jax.lax.rem(step, 2)
+        w = step * _T + j
         return pltpu.make_async_copy(
-            tex_ref.at[pl.ds(rows_ref[i], W), pl.ds(cols_ref[i], W), :],
-            out_ref.at[i],
-            sems.at[i % _INFLIGHT],
+            tex_ref.at[pl.ds(rows_ref[w], W), pl.ds(blk_ref[w], 2), :],
+            slab.at[slot, j],
+            sems.at[slot, j],
         )
 
-    def body(i, _):
-        @pl.when(i >= _INFLIGHT)
-        def _():
-            issue(i - _INFLIGHT).wait()
+    def start_step(step):
+        for j in range(_T):
+            dma(step, j).start()
 
-        issue(i).start()
-        return 0
+    @pl.when(i == 0)
+    def _():
+        start_step(0)
 
-    jax.lax.fori_loop(0, n, body, 0)
+    @pl.when(i + 1 < n_steps)
+    def _():
+        start_step(i + 1)
 
-    def drain(j, _):
-        i = jnp.maximum(n - _INFLIGHT, 0) + j
-
-        @pl.when(i < n)
-        def _():
-            issue(i).wait()
-
-        return 0
-
-    jax.lax.fori_loop(0, min(_INFLIGHT, n), drain, 0)
+    slot = jax.lax.rem(i, 2)
+    for j in range(_T):
+        dma(i, j).wait()
+        flat = jnp.concatenate([slab[slot, j, :, 0, :],
+                                slab[slot, j, :, 1, :]], axis=-1)  # (W, 256)
+        rolled = pltpu.roll(flat, -off_ref[i * _T + j], 1)
+        out_ref[j] = rolled[:, :128]
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
-def fetch_windows_dma(tex: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
+def fetch_windows_dma(texb: jnp.ndarray, rows: jnp.ndarray,
+                      blk0: jnp.ndarray, off: jnp.ndarray,
                       W: int) -> jnp.ndarray:
-    """tex: (R, Wmax, 3) f32 in HBM; rows/cols: (N,) int32 window origins.
-    Returns (N, W, W, 3) f32. Callers guarantee 0 <= origin <= dim - W."""
+    """texb: (R, nblk, 128) f32; rows/blk0/off: (N,) int32 -- window top row,
+    starting 128-float block, in-block float offset of the window's first
+    pixel. Returns (N, W, 128) with floats [0:3W] = the interleaved window."""
     n = rows.shape[0]
+    pad = (-n) % _T
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+        blk0 = jnp.concatenate([blk0, jnp.zeros((pad,), blk0.dtype)])
+        off = jnp.concatenate([off, jnp.zeros((pad,), off.dtype)])
+    n_steps = (n + pad) // _T
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(1,),
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_INFLIGHT,))],
+        out_specs=pl.BlockSpec((_T, W, 128), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _T, W, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _T)),
+        ],
     )
-    return pl.pallas_call(
-        functools.partial(_fetch_kernel, W=W, n=n),
-        out_shape=jax.ShapeDtypeStruct((n, W, W, 3), tex.dtype),
+    out = pl.pallas_call(
+        functools.partial(_kernel, W=W, n_steps=n_steps),
+        out_shape=jax.ShapeDtypeStruct((n + pad, W, 128), texb.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rows, cols, tex)
+    )(rows, blk0, off, texb)
+    return out[:n]

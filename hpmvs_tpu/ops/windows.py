@@ -41,11 +41,12 @@ class WindowState(NamedTuple):
 
 
 def fetch_windows(cams, imgs, ci, center, scale, maxlevel: int,
-                  W: int) -> WindowState:
+                  W: int, use_dma=None) -> WindowState:
     """Cut a W x W window around the projected patch center in each view.
 
-    ci: (...,) int32; center: (..., 3); scale: (...,). One XLA gather with
-    (W, W, 3) slices."""
+    ci: (...,) int32; center: (..., 3); scale: (...,). On TPU the fetch runs
+    through the pallas DMA kernel (ops/pallas_fetch.py); elsewhere it falls
+    back to a vmapped dynamic_slice gather."""
     level = cam_ops.get_leveli(cams, ci, center, scale, maxlevel)
     uvw = cam_ops.project(cams, ci, center, level)
     w = imgs.width[ci, level]
@@ -60,10 +61,20 @@ def fetch_windows(cams, imgs, ci, center, scale, maxlevel: int,
     flat_r = rows.reshape(-1)
     flat_c = ox.reshape(-1)
 
-    def cut(r, c):
-        return jax.lax.dynamic_slice(imgs.tex, (r, c, 0), (W, W, 3))
+    if use_dma is None:
+        use_dma = jax.default_backend() == "tpu"
+    if use_dma:
+        from hpmvs_tpu.ops import pallas_fetch
+        fcol = flat_c * 3
+        blk0 = fcol // 128
+        off = fcol - blk0 * 128
+        winf = pallas_fetch.fetch_windows_dma(imgs.texb, flat_r, blk0, off, W)
+        win = winf[:, :, :3 * W].reshape(shape + (W, W, 3))
+    else:
+        def cut(r, c):
+            return jax.lax.dynamic_slice(imgs.tex, (r, c, 0), (W, W, 3))
 
-    win = jax.vmap(cut)(flat_r, flat_c).reshape(shape + (W, W, 3))
+        win = jax.vmap(cut)(flat_r, flat_c).reshape(shape + (W, W, 3))
     return WindowState(win=win, ox=ox, oy=oy, level=level)
 
 
@@ -119,14 +130,20 @@ def sample_from_windows(cams, imgs, ws: WindowState, ci, center, scale,
     gx = jnp.clip(gx, 0.0, W - 1.0)
     gy = jnp.clip(gy, 0.0, W - 1.0)
 
-    # hat-function weights: bilinear interpolation as dense contraction
-    jw = jnp.arange(W, dtype=c2.dtype)
-    Ax = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - jw))   # (..., 49, W)
-    Ay = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - jw))
-
-    # contract x then y on the MXU
-    tmp = jnp.einsum("...tx,...yxc->...tyc", Ax, ws.win,
-                     preferred_element_type=jnp.float32)
-    tex = jnp.einsum("...ty,...tyc->...tc", Ay, tmp,
-                     preferred_element_type=jnp.float32)
+    tex = hat_sample(ws.win, gx, gy)
     return sampling.normalize_tex(tex), valid
+
+
+def hat_sample(win, gx, gy):
+    """Bilinear sampling as dense hat-weight contractions.
+
+    win: (..., W, W, 3); gx/gy: (..., T) local window coordinates.
+    Returns (..., T, 3)."""
+    W = win.shape[-2]
+    jw = jnp.arange(W, dtype=gx.dtype)
+    Ax = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - jw))   # (..., T, W)
+    Ay = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - jw))
+    tmp = jnp.einsum("...tx,...yxc->...tyc", Ax, win,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("...ty,...tyc->...tc", Ay, tmp,
+                      preferred_element_type=jnp.float32)

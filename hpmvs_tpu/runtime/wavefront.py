@@ -198,25 +198,31 @@ class Engine:
         # finer structure created by co-located finer patches forces coarser
         # patches down (doctree.h:378-394 split-with-buffer semantics)
         lv = self.tree.level_for_width(s)
-        for _ in range(self.tree.max_level):
+        from hpmvs_tpu.core import native
+        if native.available():
+            lv, keys = native.seed_pushdown(c.astype(np.float64),
+                                            self.tree.center, self.tree.width,
+                                            self.tree.max_level, lv)
+        else:
+            for _ in range(self.tree.max_level):
+                keys = np.zeros(len(c), np.uint64)
+                for L in np.unique(lv):
+                    m = lv == L
+                    keys[m] = self.tree.key_at(c[m], int(L))
+                # structure level induced by all patches
+                tmp = LinearOctree(self.tree.center, self.tree.width,
+                                   self.tree.max_level)
+                tmp.alloc_cells(lv.astype(np.int8), keys)
+                sl = tmp.structure_level(c)
+                new_lv = np.maximum(lv, sl)
+                if (new_lv == lv).all():
+                    break
+                lv = new_lv
+
             keys = np.zeros(len(c), np.uint64)
             for L in np.unique(lv):
                 m = lv == L
                 keys[m] = self.tree.key_at(c[m], int(L))
-            # structure level induced by all patches (excluding self-level)
-            tmp = LinearOctree(self.tree.center, self.tree.width,
-                               self.tree.max_level)
-            tmp.alloc_cells(lv.astype(np.int8), keys)
-            sl = tmp.structure_level(c)
-            new_lv = np.maximum(lv, sl)
-            if (new_lv == lv).all():
-                break
-            lv = new_lv
-
-        keys = np.zeros(len(c), np.uint64)
-        for L in np.unique(lv):
-            m = lv == L
-            keys[m] = self.tree.key_at(c[m], int(L))
 
         pair = np.stack([lv.astype(np.uint64), keys])
         uniq, inv = np.unique(pair, axis=1, return_inverse=True)

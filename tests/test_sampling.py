@@ -14,6 +14,7 @@ def _setup(scene, max_level=5):
         max_level)
     imgs = scene_image_pack(scene, max_level + 1)
     imgs_dev = imgs._replace(tex=jnp.asarray(imgs.tex),
+                             texb=jnp.asarray(imgs.texb),
                              row0=jnp.asarray(imgs.row0),
                              width=jnp.asarray(imgs.width),
                              height=jnp.asarray(imgs.height))
