@@ -41,6 +41,8 @@ def main(argv=None) -> int:
                     help="also save a lightweight cloud at this priority")
     ap.add_argument("--only_sphere", action="store_true",
                     help="only reconstruct within the scene-center sphere")
+    ap.add_argument("--ba", action="store_true",
+                    help="bundle-adjust cameras+points before densification")
     ap.add_argument("--start_level", type=int, default=None,
                     help="pyramid level for seed patches (default 4)")
     ap.add_argument("--max_views", type=int, default=None,
@@ -71,7 +73,8 @@ def main(argv=None) -> int:
 
     engine = pipeline.run_nvm_file(args.nvm, opt,
                                    more_output=args.more_output,
-                                   light_output=args.light_output)
+                                   light_output=args.light_output,
+                                   bundle_adjust=args.ba)
     logging.info("final patches: %d", engine.n_alive())
     return 0
 

@@ -1,0 +1,401 @@
+"""Distributed sparse bundle adjustment via Schur-complement reduction.
+
+New capability beyond the reference (BASELINE.json north star: "distributed
+sparse bundle-adjustment refinement of cameras+patches runs via
+Schur-complement reduction over the same collectives"); hpmvs itself has no
+BA. Standard structure:
+
+  - residuals: reprojection of every (point, camera) measurement,
+    r = project(R0 exp([w]x) X + t) - uv, camera parameterized by a local
+    so(3) twist + translation delta, points by their 3D position.
+  - Gauss-Newton with point-block elimination: H_pp is 3x3 block-diagonal,
+    so points are eliminated in closed form; the reduced camera system
+    S = H_cc - H_cp H_pp^-1 H_pc is assembled from per-shard partial sums.
+  - distribution: measurements are sharded BY POINT over the ('dp','sp')
+    mesh, every per-camera block accumulation is a psum, and the reduced
+    system is solved by (preconditioned) conjugate gradients whose matvec
+    is itself a psum -- the collectives ride ICI exactly like the depth
+    all-reduce of the wavefront engine.
+
+All Jacobians come from jax.jacfwd of the per-measurement residual (8 params
+-> 2 residuals), fully batched.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+class BAProblem(NamedTuple):
+    """Measurement table in point-sorted order (host-built)."""
+    cam_K: jnp.ndarray      # (C, 3, 3) intrinsics (fixed)
+    cam_R0: jnp.ndarray     # (C, 3, 3) initial rotations (world->cam)
+    cam_t0: jnp.ndarray     # (C, 3) initial translations
+    pts0: jnp.ndarray       # (Pn, 3) initial points
+    m_cam: jnp.ndarray      # (M,) int32 camera index per measurement
+    m_pt: jnp.ndarray       # (M,) int32 point index per measurement
+    m_uv: jnp.ndarray       # (M, 2) observed pixel coordinates
+    m_w: jnp.ndarray        # (M,) weight (0 pads)
+
+
+def _skew(w):
+    return jnp.array([[0.0, -w[2], w[1]],
+                      [w[2], 0.0, -w[0]],
+                      [-w[1], w[0], 0.0]])
+
+
+def _exp_so3(w):
+    """Rodrigues with Taylor-safe coefficients: differentiable at w = 0
+    (a plain norm() NaNs the forward-mode Jacobian there)."""
+    th2 = jnp.dot(w, w)
+    th = jnp.sqrt(th2 + 1e-24)
+    small = th2 < 1e-8
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2)
+    K = _skew(w)
+    return jnp.eye(3) + A * K + B * (K @ K)
+
+
+def _residual(cam_param, pt, K, R0, t0, uv):
+    """cam_param = (w(3), dt(3)); returns (2,) reprojection residual."""
+    R = R0 @ _exp_so3(cam_param[:3])
+    t = t0 + cam_param[3:6]
+    xc = R @ pt + t
+    z = jnp.maximum(xc[2], 1e-6)
+    uvp = (K @ (xc / z))[:2]
+    return uvp - uv
+
+
+def build_problem(model, max_points: int = 0) -> BAProblem:
+    """Host-side assembly from a parsed NVM model (measurements sorted by
+    point already, NVM stores them per point)."""
+    ncam = len(model.cameras)
+    K = np.zeros((ncam, 3, 3))
+    R0 = np.zeros((ncam, 3, 3))
+    t0 = np.zeros((ncam, 3))
+    from hpmvs_tpu.testing import _quatR
+    for ci, cam in enumerate(model.cameras):
+        # principal point convention: image center; uv in NVM is relative to
+        # the center (VisualSFM convention), so cx=cy=0 here
+        K[ci] = np.array([[cam.f, 0, 0], [0, cam.f, 0], [0, 0, 1]])
+        R0[ci] = _quatR(cam.rq)
+        t0[ci] = -R0[ci] @ cam.c
+
+    npts = model.n_points if max_points <= 0 else min(model.n_points,
+                                                      max_points)
+    m_cam, m_pt, m_uv = [], [], []
+    for ii in range(npts):
+        s, e = model.meas_start[ii], model.meas_start[ii + 1]
+        for mi in range(s, e):
+            m_cam.append(int(model.meas_img[mi]))
+            m_pt.append(ii)
+            m_uv.append(model.meas_xy[mi])
+    return BAProblem(
+        cam_K=jnp.asarray(K, jnp.float32),
+        cam_R0=jnp.asarray(R0, jnp.float32),
+        cam_t0=jnp.asarray(t0, jnp.float32),
+        pts0=jnp.asarray(model.points_xyz[:npts], jnp.float32),
+        m_cam=jnp.asarray(m_cam, jnp.int32),
+        m_pt=jnp.asarray(m_pt, jnp.int32),
+        m_uv=jnp.asarray(np.asarray(m_uv, np.float64), jnp.float32),
+        m_w=jnp.ones((len(m_cam),), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_cams", "n_pts", "iters",
+                                             "cg_iters", "fix_first"))
+def ba_solve(prob: BAProblem, n_cams: int, n_pts: int, iters: int = 5,
+             cg_iters: int = 30, damping: float = 1e-3,
+             fix_first: bool = True):
+    """Gauss-Newton BA with point elimination; single-device version.
+
+    Returns (cam_params (C,6), points (Pn,3), rms_history (iters+1,))."""
+
+    res_fn = jax.vmap(_residual, in_axes=(0, 0, 0, 0, 0, 0))
+    jac_c = jax.vmap(jax.jacfwd(_residual, argnums=0),
+                     in_axes=(0, 0, 0, 0, 0, 0))
+    jac_p = jax.vmap(jax.jacfwd(_residual, argnums=1),
+                     in_axes=(0, 0, 0, 0, 0, 0))
+
+    def rms(r, w):
+        return jnp.sqrt(jnp.sum(w * jnp.sum(r * r, -1))
+                        / jnp.maximum(jnp.sum(w), 1.0))
+
+    def gn_step(state, _):
+        cam, pts = state
+        cc = prob.m_cam
+        pp = prob.m_pt
+        args = (cam[cc], pts[pp], prob.cam_K[cc], prob.cam_R0[cc],
+                prob.cam_t0[cc], prob.m_uv)
+        r = res_fn(*args)                               # (M, 2)
+        Jc = jac_c(*args)                               # (M, 2, 6)
+        Jp = jac_p(*args)                               # (M, 2, 3)
+        w = prob.m_w[:, None, None]
+
+        # block accumulations (segment sums over cameras / points)
+        Hcc = jax.ops.segment_sum(
+            w * jnp.einsum("mia,mib->mab", Jc, Jc), cc, n_cams)  # (C,6,6)
+        bc = jax.ops.segment_sum(
+            prob.m_w[:, None] * jnp.einsum("mia,mi->ma", Jc, r), cc, n_cams)
+        Hpp = jax.ops.segment_sum(
+            w * jnp.einsum("mia,mib->mab", Jp, Jp), pp, n_pts)   # (P,3,3)
+        bp = jax.ops.segment_sum(
+            prob.m_w[:, None] * jnp.einsum("mia,mi->ma", Jp, r), pp, n_pts)
+
+        lam = damping
+        Hpp = Hpp + lam * jnp.eye(3)
+        Hpp_inv = jnp.linalg.inv(Hpp)                   # (P,3,3)
+
+        # Schur RHS: b_s = bc - Hcp Hpp^-1 bp  (assembled per measurement)
+        y = jnp.einsum("pab,pb->pa", Hpp_inv, bp)       # (P,3)
+        Hcp_y = jax.ops.segment_sum(
+            prob.m_w[:, None] * jnp.einsum("mia,mib,mb->ma", Jc, Jp, y[pp]),
+            cc, n_cams)
+        b_s = bc - Hcp_y
+
+        mask_c = jnp.ones((n_cams, 1))
+        if fix_first:
+            mask_c = mask_c.at[0].set(0.0)              # gauge fix
+
+        def s_matvec(xc):
+            """S @ xc without materializing S: per-measurement assembly."""
+            xc = xc.reshape(n_cams, 6) * mask_c
+            t1 = jnp.einsum("cab,cb->ca", Hcc, xc) \
+                + lam * xc                              # (C,6)
+            # Hpc xc accumulated per point
+            z = jax.ops.segment_sum(
+                prob.m_w[:, None] * jnp.einsum("mia,mib,mb->ma", Jp, Jc,
+                                               xc[cc]), pp, n_pts)
+            z = jnp.einsum("pab,pb->pa", Hpp_inv, z)
+            t2 = jax.ops.segment_sum(
+                prob.m_w[:, None] * jnp.einsum("mia,mib,mb->ma", Jc, Jp,
+                                               z[pp]), cc, n_cams)
+            return ((t1 - t2) * mask_c).reshape(-1)
+
+        # Jacobi-preconditioned CG on the reduced camera system
+        b_vec = (b_s * mask_c).reshape(-1)
+        diag = jnp.maximum(jax.vmap(jnp.diag)(Hcc).reshape(-1) + lam, 1e-8)
+
+        def cg_body(_, cgs):
+            x, rr, p, rz = cgs
+            Ap = s_matvec(p)
+            alpha = rz / jnp.maximum(p @ Ap, 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = rr / diag
+            rz_new = rr @ z
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = z + beta * p
+            return x, rr, p, rz_new
+
+        x0 = jnp.zeros_like(b_vec)
+        z0 = b_vec / diag
+        x, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, b_vec, z0, b_vec @ z0))
+        dc = -x.reshape(n_cams, 6) * mask_c
+
+        # back-substitute points: dp = -Hpp^-1 (bp + Hpc dc)
+        z = jax.ops.segment_sum(
+            prob.m_w[:, None] * jnp.einsum("mia,mib,mb->ma", Jp, Jc, dc[cc]),
+            pp, n_pts)
+        dp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp + z)
+
+        new_cam = cam + dc
+        new_pts = pts + dp
+        # accept only if the step reduces the RMS (simple safeguard)
+        r_new = res_fn(new_cam[cc], new_pts[pp], prob.cam_K[cc],
+                       prob.cam_R0[cc], prob.cam_t0[cc], prob.m_uv)
+        better = rms(r_new, prob.m_w) < rms(r, prob.m_w)
+        cam = jnp.where(better, new_cam, cam)
+        pts = jnp.where(better, new_pts, pts)
+        return (cam, pts), rms(r, prob.m_w)
+
+    cam0 = jnp.zeros((n_cams, 6), jnp.float32)
+    (cam, pts), hist = jax.lax.scan(gn_step, (cam0, prob.pts0), None,
+                                    length=iters)
+    cc = prob.m_cam
+    r_fin = res_fn(cam[cc], pts[prob.m_pt], prob.cam_K[cc], prob.cam_R0[cc],
+                   prob.cam_t0[cc], prob.m_uv)
+    hist = jnp.concatenate([hist, rms(r_fin, prob.m_w)[None]])
+    return cam, pts, hist
+
+
+def ba_solve_sharded(mesh: Mesh, prob: BAProblem, n_cams: int, n_pts: int,
+                     iters: int = 5, cg_iters: int = 30,
+                     damping: float = 1e-3):
+    """Distributed BA: measurements sharded by point over the mesh; every
+    per-camera accumulation and every CG matvec psums across shards.
+
+    The measurement table must be padded so that (a) M divides the mesh size
+    and (b) no point's measurements straddle a shard boundary (pad with
+    m_w = 0 rows); use shard_problem()."""
+    n_shards = mesh.devices.size
+
+    def body(m_cam, m_pt, m_uv, m_w):
+        local = prob._replace(m_cam=m_cam, m_pt=m_pt, m_uv=m_uv, m_w=m_w)
+
+        # replicate the single-device algebra but psum every global reduce
+        res_fn = jax.vmap(_residual, in_axes=(0, 0, 0, 0, 0, 0))
+        jac_c = jax.vmap(jax.jacfwd(_residual, argnums=0),
+                         in_axes=(0, 0, 0, 0, 0, 0))
+        jac_p = jax.vmap(jax.jacfwd(_residual, argnums=1),
+                         in_axes=(0, 0, 0, 0, 0, 0))
+
+        def psum(x):
+            return jax.lax.psum(x, ("dp", "sp"))
+
+        def gn_step(state, _):
+            cam, pts = state
+            cc, pp = local.m_cam, local.m_pt
+            args = (cam[cc], pts[pp], prob.cam_K[cc], prob.cam_R0[cc],
+                    prob.cam_t0[cc], local.m_uv)
+            r = res_fn(*args)
+            Jc = jac_c(*args)
+            Jp = jac_p(*args)
+            w3 = local.m_w[:, None, None]
+            w2 = local.m_w[:, None]
+
+            Hcc = psum(jax.ops.segment_sum(
+                w3 * jnp.einsum("mia,mib->mab", Jc, Jc), cc, n_cams))
+            bc = psum(jax.ops.segment_sum(
+                w2 * jnp.einsum("mia,mi->ma", Jc, r), cc, n_cams))
+            # point blocks live entirely on one shard (sharded by point):
+            # no psum needed for Hpp/bp, but indices are global
+            Hpp = jax.ops.segment_sum(
+                w3 * jnp.einsum("mia,mib->mab", Jp, Jp), pp, n_pts)
+            bp = jax.ops.segment_sum(
+                w2 * jnp.einsum("mia,mi->ma", Jp, r), pp, n_pts)
+            lam = damping
+            Hpp_local = Hpp + lam * jnp.eye(3) \
+                * (jnp.abs(Hpp).sum((1, 2), keepdims=True) > 0)
+            # gather the full point-block table (points partitioned by shard)
+            Hpp_all = psum(Hpp)
+            bp_all = psum(bp)
+            Hpp_inv = jnp.linalg.inv(Hpp_all + lam * jnp.eye(3))
+            del Hpp_local
+
+            y = jnp.einsum("pab,pb->pa", Hpp_inv, bp_all)
+            b_s = bc - psum(jax.ops.segment_sum(
+                w2 * jnp.einsum("mia,mib,mb->ma", Jc, Jp, y[pp]), cc, n_cams))
+
+            mask_c = jnp.ones((n_cams, 1)).at[0].set(0.0)
+
+            def s_matvec(xc):
+                xc = xc.reshape(n_cams, 6) * mask_c
+                t1 = jnp.einsum("cab,cb->ca", Hcc, xc) + lam * xc
+                z = jax.ops.segment_sum(
+                    w2 * jnp.einsum("mia,mib,mb->ma", Jp, Jc, xc[cc]),
+                    pp, n_pts)
+                z = jnp.einsum("pab,pb->pa", Hpp_inv, psum(z))
+                t2 = psum(jax.ops.segment_sum(
+                    w2 * jnp.einsum("mia,mib,mb->ma", Jc, Jp, z[pp]),
+                    cc, n_cams))
+                return ((t1 - t2) * mask_c).reshape(-1)
+
+            b_vec = (b_s * mask_c).reshape(-1)
+            diag = jnp.maximum(jax.vmap(jnp.diag)(Hcc).reshape(-1) + lam,
+                               1e-8)
+
+            def cg_body(_, cgs):
+                x, rr, p, rz = cgs
+                Ap = s_matvec(p)
+                alpha = rz / jnp.maximum(p @ Ap, 1e-20)
+                x = x + alpha * p
+                rr = rr - alpha * Ap
+                zz = rr / diag
+                rz_new = rr @ zz
+                beta = rz_new / jnp.maximum(rz, 1e-20)
+                p = zz + beta * p
+                return x, rr, p, rz_new
+
+            x0 = jnp.zeros_like(b_vec)
+            z0 = b_vec / diag
+            x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                           (x0, b_vec, z0, b_vec @ z0))
+            dc = -x.reshape(n_cams, 6) * mask_c
+
+            z = psum(jax.ops.segment_sum(
+                w2 * jnp.einsum("mia,mib,mb->ma", Jp, Jc, dc[cc]), pp, n_pts))
+            dp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp_all + z)
+
+            sq = psum(jnp.sum(local.m_w * jnp.sum(r * r, -1)))
+            nw = psum(jnp.sum(local.m_w))
+            return (cam + dc, pts + dp), jnp.sqrt(sq / jnp.maximum(nw, 1.0))
+
+        cam0 = jnp.zeros((n_cams, 6), jnp.float32)
+        (cam, pts), hist = jax.lax.scan(gn_step, (cam0, prob.pts0), None,
+                                        length=iters)
+        return cam, pts, hist
+
+    spec = P(("dp", "sp"))
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec),
+                   out_specs=(P(), P(), P()),
+                   check_vma=False)
+    return jax.jit(fn)(prob.m_cam, prob.m_pt, prob.m_uv, prob.m_w)
+
+
+def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
+    """Pad + reorder the measurement table so points don't straddle shards."""
+    m_pt = np.asarray(prob.m_pt)
+    m_cam = np.asarray(prob.m_cam)
+    m_uv = np.asarray(prob.m_uv)
+    m_w = np.asarray(prob.m_w)
+    order = np.argsort(m_pt, kind="stable")
+    m_pt, m_cam, m_uv, m_w = (m_pt[order], m_cam[order], m_uv[order],
+                              m_w[order])
+    M = len(m_pt)
+    per = -(-M // n_shards)
+    # greedy: walk points, close a shard when it would overflow `per`
+    rows = [[] for _ in range(n_shards)]
+    shard = 0
+    i = 0
+    while i < M:
+        j = i
+        while j < M and m_pt[j] == m_pt[i]:
+            j += 1
+        if len(rows[shard]) + (j - i) > per and shard + 1 < n_shards:
+            shard += 1
+        rows[shard].extend(range(i, j))
+        i = j
+    width = max(per, max(len(r) for r in rows))
+    out_cam = np.zeros((n_shards, width), np.int32)
+    out_pt = np.zeros((n_shards, width), np.int32)
+    out_uv = np.zeros((n_shards, width, 2), np.float32)
+    out_w = np.zeros((n_shards, width), np.float32)
+    for s, r in enumerate(rows):
+        out_cam[s, :len(r)] = m_cam[r]
+        out_pt[s, :len(r)] = m_pt[r]
+        out_uv[s, :len(r)] = m_uv[r]
+        out_w[s, :len(r)] = m_w[r]
+    return prob._replace(m_cam=jnp.asarray(out_cam.reshape(-1)),
+                         m_pt=jnp.asarray(out_pt.reshape(-1)),
+                         m_uv=jnp.asarray(out_uv.reshape(-1, 2)),
+                         m_w=jnp.asarray(out_w.reshape(-1)))
+
+
+def apply_to_model(model, cam_params: np.ndarray, points: np.ndarray):
+    """Write the refined cameras/points back into a (copied) NVM model."""
+    import copy
+    from hpmvs_tpu.testing import _quatR, _rot_to_quat
+    out = copy.deepcopy(model)
+    cam_params = np.asarray(cam_params, np.float64)
+    for ci, cam in enumerate(out.cameras):
+        R0 = _quatR(cam.rq)
+        t0 = -R0 @ cam.c
+        w = cam_params[ci, :3]
+        th = np.linalg.norm(w) + 1e-12
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                      [-w[1], w[0], 0]]) / th
+        R = R0 @ (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K))
+        t = t0 + cam_params[ci, 3:6]
+        cam.rq = _rot_to_quat(R)
+        cam.c = -R.T @ t
+    out.points_xyz = np.asarray(points, np.float64).copy()
+    return out

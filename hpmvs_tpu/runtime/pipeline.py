@@ -26,9 +26,21 @@ log = logging.getLogger("hpmvs_tpu")
 
 def run(model: nvm_io.NvmModel, opt: Options, images=None,
         more_output: bool = False, light_output: int = 0,
-        snapshot_hook=None, max_prio: Optional[int] = None) -> Engine:
-    """Progressive densification main loop (main.cpp:145-202)."""
+        snapshot_hook=None, max_prio: Optional[int] = None,
+        bundle_adjust: bool = False) -> Engine:
+    """Progressive densification main loop (main.cpp:145-202).
+
+    bundle_adjust: refine cameras + sparse points by Schur-complement BA
+    (parallel/ba.py) before densification -- capability beyond the reference."""
     os.makedirs(opt.OUTFOLDER, exist_ok=True)
+    if bundle_adjust and model.n_points > 0:
+        from hpmvs_tpu.parallel import ba
+        prob = ba.build_problem(model)
+        cam, pts, hist = ba.ba_solve(prob, len(model.cameras),
+                                     model.n_points, iters=6, cg_iters=40)
+        log.info("bundle adjustment: reprojection RMS %.4f -> %.4f px",
+                 float(np.asarray(hist)[0]), float(np.asarray(hist)[-1]))
+        model = ba.apply_to_model(model, np.asarray(cam), np.asarray(pts))
     engine = Engine(model, opt, images=images)
     engine.seed()
     if more_output:

@@ -1,0 +1,160 @@
+"""Progressive streaming input: grow the scene while reconstruction runs.
+
+Capability beyond the reference (BASELINE.json internet-scale config:
+"progressive streaming input"); hpmvs loads one NVM up front. Here camera +
+point chunks arrive incrementally: images append to the packed pyramid,
+covisibility accumulates, depth buffers extend in place (old buffers are a
+prefix of the new packing), and new SfM points seed into the EXISTING octree
+-- joining occupied cells as multi-patch entries that the wavefront engine's
+filter pass resolves, exactly like colliding seeds in the reference's
+add() (doctree.h:378-394).
+
+Limits (documented): the octree root cube is fixed by the first chunk's
+seeds; later points outside it are dropped (the reference's border handling
+drops outside-root patches the same way, CellProcessor.cpp:533-540).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.core import depth as depth_mod
+from hpmvs_tpu.core import scene as scene_mod
+from hpmvs_tpu.io import nvm as nvm_io
+from hpmvs_tpu.runtime.wavefront import Engine
+
+log = logging.getLogger("hpmvs_tpu")
+
+
+def merge_models(base: Optional[nvm_io.NvmModel],
+                 chunk: nvm_io.NvmModel) -> nvm_io.NvmModel:
+    """Concatenate cameras and points; chunk measurement camera indices are
+    LOCAL to the chunk and get offset by the existing camera count."""
+    if base is None:
+        return chunk
+    off = len(base.cameras)
+    return nvm_io.NvmModel(
+        cameras=list(base.cameras) + list(chunk.cameras),
+        points_xyz=np.concatenate([base.points_xyz, chunk.points_xyz]),
+        points_rgb=np.concatenate([base.points_rgb, chunk.points_rgb]),
+        meas_start=np.concatenate(
+            [base.meas_start,
+             base.meas_start[-1] + chunk.meas_start[1:]]),
+        meas_img=np.concatenate([base.meas_img, chunk.meas_img + off]),
+        meas_feat=np.concatenate([base.meas_feat, chunk.meas_feat]),
+        meas_xy=np.concatenate([base.meas_xy, chunk.meas_xy]),
+    )
+
+
+class StreamingEngine:
+    """Incremental wrapper around the wavefront Engine."""
+
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.model: Optional[nvm_io.NvmModel] = None
+        self.images: Optional[List[np.ndarray]] = None
+        self.engine: Optional[Engine] = None
+
+    def add_chunk(self, chunk: nvm_io.NvmModel, images=None) -> int:
+        """Add cameras + points; returns the number of new seed patches."""
+        first = self.model is None
+        if images is not None:
+            self.images = (list(images) if self.images is None
+                           else self.images + list(images))
+        self.model = merge_models(self.model, chunk)
+
+        if first:
+            self.engine = Engine(self.model, self.opt, images=self.images)
+            return self.engine.seed()
+        return self._extend(chunk)
+
+    def _extend(self, chunk: nvm_io.NvmModel) -> int:
+        eng = self.engine
+        opt = self.opt
+        old_pack = eng.pack
+        old_total = int(old_pack.depth.shape[0])
+
+        # rebuild the device scene over the grown camera set (images append,
+        # so every existing (image, level) keeps its offsets)
+        eng.scene = scene_mod.build_scene(self.model, opt, images=self.images)
+        new_pack = depth_mod.build_depth_pack(
+            np.asarray(eng.scene.ctx.imgs.width),
+            np.asarray(eng.scene.ctx.imgs.height), opt.DEPTH_SUBSAMPLE)
+        import jax.numpy as jnp
+        new_depth = np.array(new_pack.depth)  # writable host copy
+        new_depth[:old_total] = np.asarray(old_pack.depth)
+        eng.pack = new_pack._replace(depth=jnp.asarray(new_depth))
+
+        # seed only the new points (global camera indices already)
+        n_old_pts = self.model.n_points - chunk.n_points
+        sub = nvm_io.NvmModel(
+            cameras=self.model.cameras,
+            points_xyz=self.model.points_xyz[n_old_pts:],
+            points_rgb=self.model.points_rgb[n_old_pts:],
+            meas_start=(self.model.meas_start[n_old_pts:]
+                        - self.model.meas_start[n_old_pts]),
+            meas_img=self.model.meas_img[self.model.meas_start[n_old_pts]:],
+            meas_feat=self.model.meas_feat[self.model.meas_start[n_old_pts]:],
+            meas_xy=self.model.meas_xy[self.model.meas_start[n_old_pts]:],
+        )
+        c, n, s, v, orig = scene_mod.make_seed_patches(sub, eng.scene, opt)
+        if c.shape[0] == 0:
+            return 0
+        oc, on, os_, ov, ok, col, _ = eng._optimize(c, n, s, v)
+        drift = np.linalg.norm(oc - orig, axis=1) <= os_ * opt.SEED_DRIFT
+        inside = eng.tree.contains(oc)
+        keep = ok & drift & inside
+        dropped_outside = int((ok & drift & ~inside).sum())
+        if dropped_outside:
+            log.info("streaming: dropped %d seeds outside the root cube",
+                     dropped_outside)
+        if keep.sum() == 0:
+            return 0
+        c, n, s, v, col = oc[keep], on[keep], os_[keep], ov[keep], col[keep]
+        s = np.maximum(s, eng.tree.width
+                       / (1 << (opt.PATCH_INIT_MAXLEVEL + 1)))
+
+        # insertion into the live tree: join an occupied containing cell as a
+        # multi-patch entry (filtered later), else create a cell at
+        # max(width-formula level, structure level)
+        owner = eng.tree.containing_cell(c)
+        lv = eng.tree.level_for_width(s)
+        sl = eng.tree.structure_level(c)
+        lv = np.maximum(lv, sl)
+
+        pids = eng.patches.alloc(len(c))
+        eng.patches.center[pids] = c
+        eng.patches.normal[pids] = n
+        eng.patches.scale[pids] = s
+        eng.patches.views[pids] = v
+        eng.patches.color[pids] = col
+
+        n_new_cells = 0
+        for i, pid in enumerate(pids):
+            if owner[i] >= 0:
+                cid = int(owner[i])
+            else:
+                key = eng.tree.key_at(c[i:i + 1], int(lv[i]))
+                existing = eng.tree.lookup(np.asarray([lv[i]]), key)
+                if existing[0] >= 0:
+                    cid = int(existing[0])
+                else:
+                    cid = int(eng.tree.alloc_cells(
+                        np.asarray([lv[i]], np.int8), key)[0])
+                    n_new_cells += 1
+            eng._insert_patch(int(pid), cid)
+            level = int(eng.tree.level[cid])
+            eng._push(level * 10, cid)
+        eng._set_depths(pids)
+        eng.stats["stream_seeds"] += len(pids)
+        return len(pids)
+
+    def run_to(self, prio: int):
+        """Process wavefronts up to `prio` (call between chunks)."""
+        for p in range(prio + 1):
+            self.engine.process_priority_step(p)
+        return self.engine

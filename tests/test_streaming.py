@@ -1,0 +1,111 @@
+import dataclasses
+
+import numpy as np
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.io import nvm as nvm_io
+from hpmvs_tpu.runtime.streaming import StreamingEngine, merge_models
+from hpmvs_tpu.testing import make_plane_scene
+
+
+def _split_model(scene, cam_split, pt_split):
+    """Split a plane scene into two chunks (cameras and points)."""
+    m = scene.model
+    first = nvm_io.NvmModel(
+        cameras=m.cameras[:cam_split],
+        points_xyz=m.points_xyz[:pt_split],
+        points_rgb=m.points_rgb[:pt_split],
+        meas_start=m.meas_start[:pt_split + 1].copy(),
+        meas_img=m.meas_img[:m.meas_start[pt_split]],
+        meas_feat=m.meas_feat[:m.meas_start[pt_split]],
+        meas_xy=m.meas_xy[:m.meas_start[pt_split]],
+    )
+    # first chunk must only reference its own cameras
+    keep = first.meas_img < cam_split
+    # rebuild CSR with filtered measurements
+    starts = np.zeros(pt_split + 1, np.int64)
+    mi, mf, mx = [], [], []
+    for ii in range(pt_split):
+        s, e = m.meas_start[ii], m.meas_start[ii + 1]
+        sel = [j for j in range(s, e) if m.meas_img[j] < cam_split]
+        starts[ii + 1] = starts[ii] + len(sel)
+        mi.extend(m.meas_img[sel])
+        mf.extend(m.meas_feat[sel])
+        mx.extend(m.meas_xy[sel])
+    first = dataclasses.replace(
+        first, meas_start=starts, meas_img=np.asarray(mi, np.int32),
+        meas_feat=np.asarray(mf, np.int32),
+        meas_xy=np.asarray(mx).reshape(-1, 2))
+
+    # second chunk: remaining cameras (local indices!) + remaining points
+    # whose measurements reference the FULL camera set minus offset handling:
+    # merge_models offsets chunk meas_img by the existing camera count, so
+    # chunk indices are local (global - 0 for old cams is impossible; we
+    # remap: measurements of new points may see old cameras too -- keep only
+    # new-camera measurements for simplicity of the chunk format)
+    starts2 = np.zeros(m.n_points - pt_split + 1, np.int64)
+    mi2, mf2, mx2 = [], [], []
+    for k, ii in enumerate(range(pt_split, m.n_points)):
+        s, e = m.meas_start[ii], m.meas_start[ii + 1]
+        sel = [j for j in range(s, e)]
+        starts2[k + 1] = starts2[k] + len(sel)
+        mi2.extend(m.meas_img[sel] - cam_split)  # local to chunk cameras
+        mf2.extend(m.meas_feat[sel])
+        mx2.extend(m.meas_xy[sel])
+    second = nvm_io.NvmModel(
+        cameras=m.cameras[cam_split:],
+        points_xyz=m.points_xyz[pt_split:],
+        points_rgb=m.points_rgb[pt_split:],
+        meas_start=starts2,
+        meas_img=np.asarray(mi2, np.int32),
+        meas_feat=np.asarray(mf2, np.int32),
+        meas_xy=np.asarray(mx2).reshape(-1, 2),
+    )
+    return first, second
+
+
+def test_streaming_two_chunks():
+    """Feed the scene in two chunks; the second chunk's cameras and points
+    join the running reconstruction and densify further."""
+    scene = make_plane_scene(n_cams=7, imgsize=192, n_points=120, seed=21)
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=15, MAX_TREE_LEVEL=6,
+                              PATCH_FINAL_MINLEVEL=4, LM_ITERS=8)
+    first, second = _split_model(scene, cam_split=4, pt_split=70)
+
+    se = StreamingEngine(opt)
+    n1 = se.add_chunk(first, images=scene.images[:4])
+    assert n1 > 20
+    se.run_to(45)
+    alive_mid = se.engine.n_alive()
+
+    # chunk 2: 3 more cameras + 50 more points (note: chunk measurements
+    # reference chunk-local cameras; merge offsets them)
+    n2 = se.add_chunk(second, images=scene.images[4:])
+    assert n2 > 10
+    assert se.engine.scene.n_cameras == 7
+    eng = se.run_to(opt.max_prio - 1)
+
+    assert eng.n_alive() > alive_mid  # new data densified the cloud
+    c = eng.alive_arrays()[0]
+    err = np.abs(c[:, 2] - scene.plane_z)
+    assert np.median(err) < 0.02
+
+    # depth buffers extended: old region preserved semantics (has entries)
+    assert (np.asarray(eng.pack.depth) < 1000).sum() > 0
+
+
+def test_merge_models_offsets():
+    scene = make_plane_scene(n_cams=5, imgsize=64, n_points=30, seed=2)
+    a, b = _split_model(scene, cam_split=3, pt_split=15)
+    merged = merge_models(a, b)
+    assert len(merged.cameras) == 5
+    assert merged.n_points == 30
+    # chunk measurement indices got offset back into the global camera space
+    m = scene.model
+    np.testing.assert_array_equal(merged.meas_img[merged.meas_start[15]:],
+                                  m.meas_img[m.meas_start[15]:])
+    assert merged.meas_img.max() < 5
+    # CSR consistency
+    assert merged.meas_start[-1] == len(merged.meas_img)
