@@ -1,0 +1,64 @@
+"""Reconstruction quality metrics: accuracy / completeness.
+
+The reference publishes no quantitative metrics (BASELINE.md); its paper
+evaluates accuracy/completeness against ground truth. This module provides
+those metrics for the benchmark configs: cloud-to-reference distances
+(accuracy), reference-to-cloud coverage (completeness), and chamfer distance
+-- against either another point cloud or an analytic ground-truth surface
+(the synthetic scenes' plane).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _nn_dists(a: np.ndarray, b: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """For each point in a, distance to the nearest point in b (brute force,
+    chunked; scenes here are <= a few 100k points)."""
+    try:
+        from scipy.spatial import cKDTree
+        return cKDTree(b).query(a, k=1)[0]
+    except Exception:
+        out = np.empty(len(a))
+        for i in range(0, len(a), chunk):
+            d = np.linalg.norm(a[i:i + chunk, None, :] - b[None], axis=-1)
+            out[i:i + chunk] = d.min(1)
+        return out
+
+
+def accuracy(cloud: np.ndarray, reference: np.ndarray,
+             percentile: float = 90.0) -> float:
+    """Distance below which `percentile`% of cloud points lie from the
+    reference (lower = more accurate)."""
+    return float(np.percentile(_nn_dists(cloud, reference), percentile))
+
+
+def completeness(cloud: np.ndarray, reference: np.ndarray,
+                 tol: float) -> float:
+    """Fraction of reference points with a cloud point within `tol`."""
+    return float((_nn_dists(reference, cloud) < tol).mean())
+
+
+def chamfer(a: np.ndarray, b: np.ndarray) -> float:
+    return float(_nn_dists(a, b).mean() + _nn_dists(b, a).mean())
+
+
+def plane_metrics(cloud: np.ndarray, plane_z: float, extent: float,
+                  tol: float, grid: int = 40) -> Dict[str, float]:
+    """Metrics against the synthetic ground-truth plane z = plane_z over
+    [-extent, extent]^2: accuracy = |z - plane_z| percentiles, completeness =
+    fraction of a regular grid on the plane covered within `tol`."""
+    err = np.abs(cloud[:, 2] - plane_z)
+    xs = np.linspace(-0.8 * extent, 0.8 * extent, grid)
+    gx, gy = np.meshgrid(xs, xs)
+    ref = np.stack([gx.ravel(), gy.ravel(),
+                    np.full(grid * grid, plane_z)], axis=1)
+    return {
+        "acc_median": float(np.median(err)),
+        "acc_p90": float(np.percentile(err, 90)),
+        "completeness": completeness(cloud, ref, tol),
+        "n_points": int(len(cloud)),
+    }

@@ -164,12 +164,24 @@ def pack_pyramids(pyramids: Sequence[Sequence[np.ndarray]]) -> ImagePack:
                      height=height)
 
 
-def load_scene_images(nvm_cameras, n_levels: int) -> ImagePack:
-    """Load + undistort + pyramid all cameras (Scene.cpp:60-85 host path)."""
-    pyramids = []
-    for cam in nvm_cameras:
+def load_scene_images(nvm_cameras, n_levels: int,
+                      workers: int = 0) -> ImagePack:
+    """Load + undistort + pyramid all cameras, in parallel on the host
+    (the reference uses an OpenMP loop here, Scene.cpp:60-85)."""
+    import concurrent.futures as cf
+    import os
+
+    def one(cam):
         img = load_image(cam.filename)
         if cam.r != 0:
             img = undistort_vsfm(img, cam.f, cam.r)
-        pyramids.append(build_pyramid(img, n_levels))
+        return build_pyramid(img, n_levels)
+
+    if workers == 0:
+        workers = min(len(nvm_cameras), (os.cpu_count() or 2) * 2)
+    if workers <= 1 or len(nvm_cameras) <= 1:
+        pyramids = [one(c) for c in nvm_cameras]
+    else:
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            pyramids = list(ex.map(one, nvm_cameras))
     return pack_pyramids(pyramids)

@@ -104,6 +104,22 @@ def sharded_optimize_step(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
     return jax.jit(fn), n_shards
 
 
+def sharded_optimize(mesh: Mesh, ctx: popt.SceneCtx, opt: Options):
+    """Jitted patch-batch optimize sharded over the mesh (no depth update;
+    the wavefront engine applies depth writes after its gates). Batch must be
+    a multiple of the mesh size."""
+    def body(c, n, s, v):
+        run = functools.partial(popt._run_one, ctx, opt)
+        return jax.vmap(run)(c, n, s, v)
+
+    spec = P(("dp", "sp"))
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec),
+                   out_specs=(spec,) * 7,
+                   check_vma=False)
+    return jax.jit(fn), mesh.devices.size
+
+
 def halo_exchange(mesh: Mesh, block_of: jnp.ndarray, payload: jnp.ndarray,
                   n_blocks: int, slots: int):
     """Padded all_to_all border-patch migration (replaces

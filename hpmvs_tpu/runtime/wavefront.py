@@ -55,9 +55,11 @@ class Engine:
     buffers, host patch store + linear octree + priority queues."""
 
     def __init__(self, model, opt: Options, images=None,
-                 visdata_path: Optional[str] = None):
+                 visdata_path: Optional[str] = None, mesh=None):
         self.opt = opt
         self.model = model
+        self.mesh = mesh          # jax.sharding.Mesh -> sharded optimize
+        self._sharded_fn = None
         self.scene = scene_mod.build_scene(model, opt, images=images,
                                            visdata_path=visdata_path)
         self.pack = depth_mod.build_depth_pack(
@@ -92,21 +94,29 @@ class Engine:
 
     def _optimize(self, centers, normals, scales, views):
         """Bucketed batched optimize (pads to bounded shapes to limit
-        recompilation, SURVEY.md section 7 'hard parts')."""
+        recompilation, SURVEY.md section 7 'hard parts'). With a mesh, the
+        batch shards across devices (the OpenMP-over-subtrees analog)."""
         n = centers.shape[0]
         b = _bucket(n)
-        K = self.opt.MAX_VIEWS
+        if self.mesh is not None:
+            ms = int(self.mesh.devices.size)
+            b = -(-b // ms) * ms
 
         def pad(a, fill=0.0):
             out = np.full((b,) + a.shape[1:], fill, a.dtype)
             out[:n] = a
             return out
 
-        pv = pad(views, -1)
-        res = popt.optimize_batch(
-            self.scene.ctx, self.opt, jnp.asarray(pad(centers)),
-            jnp.asarray(pad(normals)), jnp.asarray(pad(scales)),
-            jnp.asarray(pv))
+        args = (jnp.asarray(pad(centers)), jnp.asarray(pad(normals)),
+                jnp.asarray(pad(scales)), jnp.asarray(pad(views, -1)))
+        if self.mesh is not None:
+            if self._sharded_fn is None:
+                from hpmvs_tpu.parallel import mesh as pmesh
+                self._sharded_fn, _ = pmesh.sharded_optimize(
+                    self.mesh, self.scene.ctx, self.opt)
+            res = self._sharded_fn(*args)
+        else:
+            res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
         c, nn, s, v, ok, col, resid = (np.array(x) for x in res)  # writable
         self.stats["patches_optimized"] += n
         return (c[:n], nn[:n], s[:n], v[:n], ok[:n], col[:n], resid[:n])
