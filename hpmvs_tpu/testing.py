@@ -187,6 +187,136 @@ def _quatR(q):
     ])
 
 
+def make_occlusion_scene(
+    n_cams: int = 7,
+    imgsize: int = 256,
+    n_points: int = 160,
+    extent: float = 1.0,
+    cam_dist: float = 3.5,
+    arc_deg: float = 50.0,
+    seed: int = 0,
+    fg_half: float = 0.35,
+    fg_z: float = -0.8,
+) -> PlaneScene:
+    """Background plane z=0 plus a smaller foreground square at z=fg_z
+    (closer to the cameras): exercises occlusion -- depth conflicts,
+    viewBlockTest and per-view visibility differ across cameras.
+
+    Returned PlaneScene.plane_z refers to the background; ground truth for a
+    point (x, y, z): z is fg_z if |x|,|y| <= fg_half else 0.
+    """
+    rng = np.random.default_rng(seed)
+    f = imgsize * 1.2
+    tex_size = 1024
+    tex_bg = smooth_texture(rng, tex_size)
+    tex_fg = smooth_texture(rng, tex_size, cells=16)
+
+    def bg_at(x, y):
+        return _tex_bilinear(tex_bg, tex_size, x / extent, y / extent)
+
+    def fg_at(x, y):
+        return _tex_bilinear(tex_fg, tex_size, x / fg_half, y / fg_half)
+
+    cameras, images = [], []
+    angles = np.linspace(-np.deg2rad(arc_deg) / 2, np.deg2rad(arc_deg) / 2,
+                         n_cams)
+    for ci, a in enumerate(angles):
+        eye = np.array([cam_dist * np.sin(a), 0.3 * np.sin(2.1 * a),
+                        -cam_dist * np.cos(a)])
+        R = _lookat(eye, np.zeros(3))
+        q = _rot_to_quat(R)
+        uu, vv = np.meshgrid(np.arange(imgsize), np.arange(imgsize))
+        d_cam = np.stack([(uu - imgsize / 2.0) / f,
+                          (vv - imgsize / 2.0) / f,
+                          np.ones_like(uu, dtype=np.float64)], axis=-1)
+        d_world = d_cam @ R
+        # foreground plane first (closer): hit if inside the square
+        t_fg = (fg_z - eye[2]) / d_world[..., 2]
+        fx = eye[0] + t_fg * d_world[..., 0]
+        fy = eye[1] + t_fg * d_world[..., 1]
+        hit_fg = (np.abs(fx) <= fg_half) & (np.abs(fy) <= fg_half) & (t_fg > 0)
+        t_bg = (0.0 - eye[2]) / d_world[..., 2]
+        bx = eye[0] + t_bg * d_world[..., 0]
+        by = eye[1] + t_bg * d_world[..., 1]
+        img = np.clip(bg_at(bx, by) + 0.5, 0, 255).astype(np.uint8)
+        outside = (np.abs(bx) > extent) | (np.abs(by) > extent) | (t_bg <= 0)
+        img[outside] = 8
+        fg_img = np.clip(fg_at(fx, fy) + 0.5, 0, 255).astype(np.uint8)
+        img[hit_fg] = fg_img[hit_fg]
+        cameras.append(nvm_io.NvmCamera(filename=f"occ{ci:02d}.png", f=f,
+                                        rq=q, c=eye.copy(), r=0.0))
+        images.append(img)
+
+    # SfM points on both surfaces, measured only where actually visible
+    pts = np.zeros((n_points, 3))
+    n_fg = n_points // 3
+    pts[:n_fg, 0] = rng.uniform(-0.85 * fg_half, 0.85 * fg_half, n_fg)
+    pts[:n_fg, 1] = rng.uniform(-0.85 * fg_half, 0.85 * fg_half, n_fg)
+    pts[:n_fg, 2] = fg_z
+    bgm = n_points - n_fg
+    pts[n_fg:, 0] = rng.uniform(-0.8 * extent, 0.8 * extent, bgm)
+    pts[n_fg:, 1] = rng.uniform(-0.8 * extent, 0.8 * extent, bgm)
+    pts[n_fg:, 2] = 0.0
+
+    def visible(p, cam, R):
+        pc = R @ (p - cam.c)
+        if pc[2] <= 0:
+            return None
+        u = f * pc[0] / pc[2] + imgsize / 2.0
+        v = f * pc[1] / pc[2] + imgsize / 2.0
+        if not (10 <= u < imgsize - 10 and 10 <= v < imgsize - 10):
+            return None
+        # occlusion: background point hidden if the ray crosses the fg square
+        if p[2] > fg_z + 1e-9:
+            t = (fg_z - cam.c[2]) / (p[2] - cam.c[2])
+            q = cam.c + t * (p - cam.c)
+            if abs(q[0]) <= fg_half and abs(q[1]) <= fg_half:
+                return None
+        return u, v
+
+    rgb = np.zeros((n_points, 3))
+    m_img, m_feat, m_xy = [], [], []
+    starts = np.zeros(n_points + 1, dtype=np.int64)
+    Rs = [_quatR(c.rq) for c in cameras]
+    for ii in range(n_points):
+        cnt = 0
+        for ci, cam in enumerate(cameras):
+            uv = visible(pts[ii], cam, Rs[ci])
+            if uv is None:
+                continue
+            m_img.append(ci)
+            m_feat.append(ii)
+            m_xy.append((uv[0] - imgsize / 2.0, uv[1] - imgsize / 2.0))
+            cnt += 1
+        starts[ii + 1] = starts[ii] + cnt
+        rgb[ii] = 128
+
+    model = nvm_io.NvmModel(
+        cameras=cameras, points_xyz=pts, points_rgb=rgb, meas_start=starts,
+        meas_img=np.asarray(m_img, dtype=np.int32),
+        meas_feat=np.asarray(m_feat, dtype=np.int32),
+        meas_xy=(np.asarray(m_xy, dtype=np.float64).reshape(-1, 2)
+                 if m_xy else np.zeros((0, 2))))
+    scene = PlaneScene(model=model, images=images, plane_z=0.0,
+                       extent=extent, f=f, imgsize=imgsize)
+    scene.fg_half = fg_half  # type: ignore[attr-defined]
+    scene.fg_z = fg_z        # type: ignore[attr-defined]
+    return scene
+
+
+def _tex_bilinear(tex, tex_size, u, v):
+    """Sample a texture grid with normalized coords in [-1, 1]."""
+    uu = np.clip((np.asarray(u) * 0.5 + 0.5) * (tex_size - 1), 0,
+                 tex_size - 1.001)
+    vv = np.clip((np.asarray(v) * 0.5 + 0.5) * (tex_size - 1), 0,
+                 tex_size - 1.001)
+    iu, iv = uu.astype(np.int64), vv.astype(np.int64)
+    fu, fv = (uu - iu)[..., None], (vv - iv)[..., None]
+    return (tex[iv, iu] * (1 - fu) * (1 - fv) + tex[iv, iu + 1] * fu * (1 - fv)
+            + tex[iv + 1, iu] * (1 - fu) * fv
+            + tex[iv + 1, iu + 1] * fu * fv)
+
+
 def scene_image_pack(scene: PlaneScene, n_levels: int):
     """Build the packed pyramid directly from in-memory rendered images."""
     from hpmvs_tpu.image import pyramid as pyr
