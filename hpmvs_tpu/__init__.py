@@ -9,3 +9,7 @@ batched NCC photoconsistency refinement on TPU.
 from hpmvs_tpu.config import Options, DEFAULT
 
 __version__ = "0.1.0"
+
+# convenience re-exports
+from hpmvs_tpu.runtime.pipeline import run, run_nvm_file  # noqa: E402,F401
+from hpmvs_tpu.runtime.wavefront import Engine  # noqa: E402,F401

@@ -10,10 +10,10 @@ Behavioral equivalent of the reference per-patch pipeline
 
 TPU-first inversion (SURVEY.md section 7 / BASELINE.json north star): instead
 of one nlopt BOBYQA solve per patch, thousands of patches are refined
-simultaneously by a damped-Newton (Levenberg) loop over the same 3-parameter
-space -- depth along the reference ray + two normal angles at
-angleScale = pi/48 (PatchOptimizer.cpp:384-446) -- with gradient and 3x3
-Hessian obtained by automatic differentiation through the NCC sampler.
+simultaneously by a finite-difference Gauss-Newton (Levenberg) loop over the
+same 3-parameter space -- depth along the reference ray + two normal angles
+at angleScale = pi/48 (PatchOptimizer.cpp:384-446) -- derivative-free like
+the reference's BOBYQA, with every pass a plain batched NCC evaluation.
 View lists are fixed-size slot arrays (MAX_VIEWS) with -1 padding; every
 filter stage is a masked compaction, every selection loop a fixed-trip
 lax.fori_loop, so the whole pipeline jits into one XLA program.
@@ -43,15 +43,6 @@ class SceneCtx(NamedTuple):
     imgs: object          # pyramid.ImagePack (jnp arrays)
     covis: jnp.ndarray    # (ncam, C) int32, -1 padded covisible image ids
     ncovis: jnp.ndarray   # (ncam,) int32
-
-
-class PatchBatch(NamedTuple):
-    """Structure-of-arrays batch of surface patches (Patch3d equivalent)."""
-    center: jnp.ndarray   # (B, 3)
-    normal: jnp.ndarray   # (B, 3) unit
-    scale: jnp.ndarray    # (B,)
-    views: jnp.ndarray    # (B, K) int32, slot 0 = reference image
-    ok: jnp.ndarray       # (B,) bool
 
 
 def _nviews(views):
@@ -460,12 +451,15 @@ def _params_from_center_norm(center, normal, ref_center, ref_ray,
 
 
 def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
-    """Damped-Newton refinement of (depth, angle1, angle2), replacing the
-    BOBYQA call in PatchOptimizer::optimizePatch (PatchOptimizer.cpp:322-382).
+    """Finite-difference Gauss-Newton refinement of (depth, angle1, angle2),
+    replacing the BOBYQA call in PatchOptimizer::optimizePatch
+    (PatchOptimizer.cpp:322-382).
 
-    Gradient + 3x3 Hessian by autodiff through the sampler; Levenberg damping
-    with accept/reject keeps it robust where the objective is only piecewise
-    smooth (bilinear kinks, validity-mask boundaries)."""
+    Derivative-free like the reference: each iteration evaluates the residual
+    vector at x and x + h e_i (3 FD columns) plus one trial point, builds the
+    PSD JtWJ 3x3 system with Levenberg damping and accept/reject. With a
+    window cache the passes run against precomputed projection terms
+    (_residuals_fast)."""
     ref_ci = jnp.maximum(views[0], 0)
     ref_center = center
     ref_ray = sampling.normalize3(center - ctx.cams.center[ref_ci])

@@ -280,7 +280,10 @@ class Engine:
             if not live:
                 continue
             changed = True
+            t0 = time.time()
             self._process_cells(np.asarray(live, np.int64), pmin)
+            self.stats[f"t_phase{pmin % 10}"] += time.time() - t0
+            self.stats["cells_processed"] += len(live)
         return changed
 
     def _process_cells(self, cids: np.ndarray, prio: int):
