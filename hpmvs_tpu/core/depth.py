@@ -231,6 +231,21 @@ def view_block_test(pack: DepthPack, cams, imgs, opt: Options, centers,
     return jnp.sum(blocked & lvl_ok & vis, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("opt", "n_images"))
+def geom_gates(pack: DepthPack, cams, imgs, opt: Options, centers, normals,
+               scales, views, margin, n_images: int):
+    """Fused depthTests + viewBlockTest + pixelFreeTests in ONE device call
+    (the wavefront engine runs these per candidate batch; separate dispatches
+    would cost three host-device round trips)."""
+    dt = depth_tests.__wrapped__(pack, cams, imgs, opt, centers, normals,
+                                 scales, views, margin)
+    vb = view_block_test.__wrapped__(pack, cams, imgs, opt, centers, normals,
+                                     scales, margin, n_images)
+    pf = pixel_free_tests.__wrapped__(pack, cams, imgs, opt, centers, scales,
+                                      views)
+    return dt, vb, pf
+
+
 @functools.partial(jax.jit, static_argnames=("opt",))
 def pixel_free_tests(pack: DepthPack, cams, imgs, opt: Options, centers,
                      scales, views):

@@ -65,6 +65,11 @@ class Engine:
         self.pack = depth_mod.build_depth_pack(
             np.asarray(self.scene.ctx.imgs.width),
             np.asarray(self.scene.ctx.imgs.height), opt.DEPTH_SUBSAMPLE)
+        # host copies of the camera SoA (avoid device transfers in the
+        # scheduler hot loop)
+        self.cam_center_np = np.asarray(self.scene.ctx.cams.center)
+        self.cam_xaxis_np = np.asarray(self.scene.ctx.cams.xaxis)
+        self.cam_fsum_np = np.asarray(self.scene.ctx.cams.fsum)
         self.patches = PatchStore(opt.MAX_VIEWS)
         self.tree: Optional[LinearOctree] = None
         self.cell_patches: Dict[int, List[int]] = defaultdict(list)
@@ -117,6 +122,8 @@ class Engine:
             res = self._sharded_fn(*args)
         else:
             res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
+        import jax
+        res = jax.device_get(res)  # one transfer for all outputs
         c, nn, s, v, ok, col, resid = (np.array(x) for x in res)  # writable
         self.stats["patches_optimized"] += n
         return (c[:n], nn[:n], s[:n], v[:n], ok[:n], col[:n], resid[:n])
@@ -154,14 +161,10 @@ class Engine:
         ss = jnp.asarray(pad(scales))
         vv = jnp.asarray(pad(views, -1))
         m = self.opt.DEPTH_TEST_FACTOR
-        dt = np.asarray(depth_mod.depth_tests(self.pack, ctx.cams, ctx.imgs,
-                                              self.opt, cc, nn, ss, vv, m))
-        vb = np.asarray(depth_mod.view_block_test(self.pack, ctx.cams,
-                                                  ctx.imgs, self.opt, cc, nn,
-                                                  ss, m, self.scene.n_cameras))
-        pf = np.asarray(depth_mod.pixel_free_tests(self.pack, ctx.cams,
-                                                   ctx.imgs, self.opt, cc, ss,
-                                                   vv))
+        import jax
+        dt, vb, pf = jax.device_get(depth_mod.geom_gates(
+            self.pack, ctx.cams, ctx.imgs, self.opt, cc, nn, ss, vv, m,
+            self.scene.n_cameras))
         return dt[:n], vb[:n], pf[:n]
 
     @staticmethod
@@ -353,8 +356,7 @@ class Engine:
         _, widths = self.tree.cell_center_width(cids)
         levels = self.tree.node_level(cids)
 
-        cam_x = np.asarray(self.scene.ctx.cams.xaxis)[
-            np.maximum(views[:, 0], 0)]
+        cam_x = self.cam_xaxis_np[np.maximum(views[:, 0], 0)]
         xax, yax = self._tangent_axes(normals, cam_x)
 
         ang = 2.0 * np.pi / N * np.arange(N)
@@ -458,8 +460,7 @@ class Engine:
         _, widths = self.tree.cell_center_width(cids)
         levels = self.tree.node_level(cids)
 
-        cam_x = np.asarray(self.scene.ctx.cams.xaxis)[
-            np.maximum(views[:, 0], 0)]
+        cam_x = self.cam_xaxis_np[np.maximum(views[:, 0], 0)]
         xax, yax = self._tangent_axes(normals, cam_x)
 
         offs = [(xx, yy) for yy in range(-hw, hw + 1)
@@ -524,12 +525,12 @@ class Engine:
         levels = self.tree.node_level(cids)
 
         # getLevelSupport (Scene.cpp:335-344): images with resolution left
-        cams = self.scene.ctx.cams
+        # (host math: log2 of distance ratios, no device round trip)
         ci = np.maximum(views, 0)
-        cc = np.repeat(centers[:, None, :], views.shape[1], axis=1)
-        lvl = np.round(np.asarray(cam_ops.get_level(
-            cams, jnp.asarray(ci), jnp.asarray(cc),
-            jnp.asarray(np.repeat(scales[:, None], views.shape[1], axis=1)))))
+        fz = np.linalg.norm(centers[:, None, :] - self.cam_center_np[ci],
+                            axis=-1)
+        lvl = np.round(np.log2(np.maximum(
+            scales[:, None] * self.cam_fsum_np[ci] / (2.0 * fz), 1e-20)))
         support = ((lvl > opt.MINLEVEL) & (views >= 0)).sum(1)
         exhausted = support < 1
         work = np.nonzero(~exhausted)[0]
@@ -537,7 +538,7 @@ class Engine:
         if len(work) == 0:
             return
 
-        cam_x = np.asarray(cams.xaxis)[np.maximum(views[work, 0], 0)]
+        cam_x = self.cam_xaxis_np[np.maximum(views[work, 0], 0)]
         xax, yax = self._tangent_axes(normals[work], cam_x)
         ang = 2.0 * np.pi / N * np.arange(N) + np.pi / 4.0
         dx, dy = np.cos(ang), np.sin(ang)
