@@ -100,8 +100,20 @@ class Engine:
     def _optimize(self, centers, normals, scales, views):
         """Bucketed batched optimize (pads to bounded shapes to limit
         recompilation, SURVEY.md section 7 'hard parts'). With a mesh, the
-        batch shards across devices (the OpenMP-over-subtrees analog)."""
+        batch shards across devices (the OpenMP-over-subtrees analog).
+        Batches beyond Options.BATCH are chunked to bound the window-cache
+        footprint."""
         n = centers.shape[0]
+        cap = max(self.opt.BATCH, 16)
+        if n > cap:
+            outs = []
+            for i in range(0, n, cap):
+                outs.append(self._optimize(centers[i:i + cap],
+                                           normals[i:i + cap],
+                                           scales[i:i + cap],
+                                           views[i:i + cap]))
+            return tuple(np.concatenate([o[j] for o in outs])
+                         for j in range(7))
         b = _bucket(n)
         if self.mesh is not None:
             ms = int(self.mesh.devices.size)

@@ -100,3 +100,25 @@ def test_optimize_batch_rejects_garbage(plane_scene, built):
     # regularization, so only the *rate* is asserted here
     recovered = np.abs(out_c[:, 2] - plane_scene.plane_z) < 0.05
     assert np.mean(~ok | recovered) >= 0.8
+
+
+def test_engine_optimize_chunking(plane_scene, built):
+    """Engine._optimize chunks batches beyond Options.BATCH (bounds the
+    window-cache footprint for huge seed sets)."""
+    import dataclasses as dc
+    from hpmvs_tpu.runtime.wavefront import Engine
+    scene, opt = built
+    opt_small = dc.replace(opt, BATCH=32, LM_ITERS=4)
+    eng = Engine(plane_scene.model, opt_small, images=plane_scene.images)
+    c, n, s, v, _ = scene_mod.make_seed_patches(plane_scene.model,
+                                                eng.scene, opt_small)
+    B = 70  # > 2 chunks of 32
+    out = eng._optimize(c[:B], n[:B], s[:B], v[:B])
+    assert out[0].shape == (B, 3)
+    assert out[4].dtype == bool
+    # chunked result equals one-shot result
+    opt_big = dc.replace(opt, BATCH=2048, LM_ITERS=4)
+    eng2 = Engine(plane_scene.model, opt_big, images=plane_scene.images)
+    out2 = eng2._optimize(c[:B], n[:B], s[:B], v[:B])
+    np.testing.assert_allclose(out[0], out2[0], atol=2e-4)
+    np.testing.assert_array_equal(out[4], out2[4])
