@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     ap.add_argument("--nvm", required=True, help="input nvm file")
     ap.add_argument("--outdir", default="/tmp/hpmvs_tpu",
                     help="output directory")
+    ap.add_argument("--forcelogtostderr", action="store_true", default=True,
+                    help="(compat) log to stderr")
     ap.add_argument("--subtrees", type=int, default=100,
                     help="(compat) min number of subtrees; batched wavefronts "
                          "partition internally")
