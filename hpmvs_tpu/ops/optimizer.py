@@ -622,6 +622,37 @@ def _run_one(ctx, opt: Options, center, normal, scale, views):
     return center, normal, scale, views, ok, color, resid
 
 
+@functools.partial(jax.jit, static_argnames=("opt", "n_images"))
+def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
+                      center, normal, scale, views, parent_c, widths):
+    """Fused extend-candidate compute: optimize + every acceptance gate of
+    CellProcessor::extend (:130-142) -- scale window, drift, depthTests,
+    viewBlockTest, pixelFreeTests -- in ONE device dispatch.
+
+    Returns (center', normal', scale', views', ok, color)."""
+    from hpmvs_tpu.core import depth as depth_mod
+
+    run = functools.partial(_run_one, ctx, opt)
+    oc, on, os_, ov, ok, col, _ = jax.vmap(run)(center, normal, scale, views)
+
+    ok &= (os_ * 2.0 < widths) & (os_ * 2.0 > widths / 2.0)
+    ok &= jnp.linalg.norm(oc - parent_c, axis=1) < widths * opt.EXTEND_DRIFT
+
+    m = opt.DEPTH_TEST_FACTOR
+    dt = depth_mod.depth_tests.__wrapped__(pack, ctx.cams, ctx.imgs, opt,
+                                           oc, on, os_, ov, m)
+    vb = depth_mod.view_block_test.__wrapped__(pack, ctx.cams, ctx.imgs, opt,
+                                               oc, on, os_, m, n_images)
+    pf = depth_mod.pixel_free_tests.__wrapped__(pack, ctx.cams, ctx.imgs,
+                                                opt, oc, os_, ov)
+    nv = jnp.sum(ov >= 0, axis=1)
+    ok &= dt >= opt.MIN_IMAGES_PER_PATCH
+    ok &= vb < opt.MIN_IMAGES_PER_PATCH
+    ok &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
+        & (pf / jnp.maximum(nv, 1) > 0.75)
+    return oc, on, os_, ov, ok, col
+
+
 @functools.partial(jax.jit, static_argnames=("opt",))
 def optimize_batch(ctx: SceneCtx, opt: Options, center, normal, scale, views):
     """Optimize B patches in one shot.

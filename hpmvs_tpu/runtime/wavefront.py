@@ -156,6 +156,38 @@ class Engine:
             jnp.asarray(v), subtract=subtract,
             subsample=self.opt.DEPTH_SUBSAMPLE)
 
+    def _extend_compute(self, centers, normals, scales, views, parent_c,
+                        widths):
+        """Fused optimize + extend gates (one device call), bucketed/chunked
+        like _optimize."""
+        import jax
+        n = centers.shape[0]
+        cap = max(self.opt.BATCH, 16)
+        if n > cap:
+            outs = []
+            for i in range(0, n, cap):
+                outs.append(self._extend_compute(
+                    centers[i:i + cap], normals[i:i + cap],
+                    scales[i:i + cap], views[i:i + cap],
+                    parent_c[i:i + cap], widths[i:i + cap]))
+            return tuple(np.concatenate([o[j] for o in outs])
+                         for j in range(6))
+        b = _bucket(n)
+
+        def pad(a, fill=0.0):
+            out = np.full((b,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        res = popt.optimize_and_gate(
+            self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
+            jnp.asarray(pad(centers)), jnp.asarray(pad(normals)),
+            jnp.asarray(pad(scales)), jnp.asarray(pad(views, -1)),
+            jnp.asarray(pad(parent_c)), jnp.asarray(pad(widths, 1.0)))
+        res = jax.device_get(res)
+        self.stats["patches_optimized"] += n
+        return tuple(np.array(x)[:n] for x in res)
+
     def _geom_gates(self, centers, normals, scales, views):
         """Batched depthTests / viewBlockTest / pixelFreeTests for extend
         gating (CellProcessor.cpp:134-142)."""
@@ -399,19 +431,24 @@ class Engine:
         s_in = (widths[src[sel]] * opt.EXTEND_SCALE / 2.0).astype(np.float32)
         v_in = views[src[sel]]
 
-        oc, on, os_, ov, ok, col, _ = self._optimize(c_in, n_in, s_in, v_in)
-
-        w_src = widths[src[sel]]
-        ok &= (os_ * 2.0 < w_src) & (os_ * 2.0 > w_src / 2.0)
-        ok &= np.linalg.norm(oc - centers[src[sel]], axis=1) \
-            < w_src * opt.EXTEND_DRIFT
-        if ok.any():
-            dt, vb, pf = self._geom_gates(oc, on, os_, ov)
-            nv = (ov >= 0).sum(1)
-            ok &= dt >= opt.MIN_IMAGES_PER_PATCH
-            ok &= vb < opt.MIN_IMAGES_PER_PATCH
-            ok &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
-                & (pf * 1.0 / np.maximum(nv, 1) > 0.75)
+        w_src = widths[src[sel]].astype(np.float32)
+        if self.mesh is None:
+            oc, on, os_, ov, ok, col = self._extend_compute(
+                c_in, n_in, s_in, v_in, centers[src[sel]].astype(np.float32),
+                w_src)
+        else:
+            oc, on, os_, ov, ok, col, _ = self._optimize(c_in, n_in, s_in,
+                                                         v_in)
+            ok &= (os_ * 2.0 < w_src) & (os_ * 2.0 > w_src / 2.0)
+            ok &= np.linalg.norm(oc - centers[src[sel]], axis=1) \
+                < w_src * opt.EXTEND_DRIFT
+            if ok.any():
+                dt, vb, pf = self._geom_gates(oc, on, os_, ov)
+                nv = (ov >= 0).sum(1)
+                ok &= dt >= opt.MIN_IMAGES_PER_PATCH
+                ok &= vb < opt.MIN_IMAGES_PER_PATCH
+                ok &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
+                    & (pf * 1.0 / np.maximum(nv, 1) > 0.75)
 
         # addConditional at the *optimized* position (CellProcessor.cpp:154)
         inside2 = self.tree.contains(oc)
