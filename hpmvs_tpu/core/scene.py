@@ -30,6 +30,8 @@ class Scene(NamedTuple):
     covis_np: np.ndarray     # (ncam, C) host copy, -1 padded
     ncovis_np: np.ndarray    # (ncam,)
     n_cameras: int
+    width_np: np.ndarray = None   # (ncam, nlevel) host copies of image dims
+    height_np: np.ndarray = None
 
 
 def extract_covisibility(model: nvm_io.NvmModel, opt: Options,
@@ -99,7 +101,9 @@ def build_scene(model: nvm_io.NvmModel, opt: Options,
         ncovis=jnp.asarray(ncovis),
     )
     return Scene(ctx=ctx, covis_np=covis, ncovis_np=ncovis,
-                 n_cameras=len(model.cameras))
+                 n_cameras=len(model.cameras),
+                 width_np=np.asarray(imgs.width),
+                 height_np=np.asarray(imgs.height))
 
 
 def scene_center_radius(cams: cam_ops.Cameras) -> Tuple[np.ndarray, float]:
@@ -125,8 +129,8 @@ def make_seed_patches(model: nvm_io.NvmModel, scene: Scene, opt: Options):
     npts = model.n_points
     K = opt.MAX_VIEWS
     cams = scene.ctx.cams
-    widths = np.asarray(scene.ctx.imgs.width)
-    heights = np.asarray(scene.ctx.imgs.height)
+    widths = scene.width_np
+    heights = scene.height_np
 
     cam_P = np.asarray(cams.P)           # (ncam, L, 3, 4)
     cam_center = np.asarray(cams.center)

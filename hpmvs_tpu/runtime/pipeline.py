@@ -41,7 +41,10 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
         log.info("bundle adjustment: reprojection RMS %.4f -> %.4f px",
                  float(np.asarray(hist)[0]), float(np.asarray(hist)[-1]))
         model = ba.apply_to_model(model, np.asarray(cam), np.asarray(pts))
-    engine = Engine(model, opt, images=images)
+    # PMVS-style VISDATA debug dump, like the reference's always-written
+    # /tmp/testvis.dat (Scene.cpp:243,279) but into the output folder
+    engine = Engine(model, opt, images=images,
+                    visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"))
     engine.seed()
     if more_output:
         engine.save_ply(os.path.join(opt.OUTFOLDER, "patches-init.ply"))

@@ -63,8 +63,7 @@ class Engine:
         self.scene = scene_mod.build_scene(model, opt, images=images,
                                            visdata_path=visdata_path)
         self.pack = depth_mod.build_depth_pack(
-            np.asarray(self.scene.ctx.imgs.width),
-            np.asarray(self.scene.ctx.imgs.height), opt.DEPTH_SUBSAMPLE)
+            self.scene.width_np, self.scene.height_np, opt.DEPTH_SUBSAMPLE)
         # host copies of the camera SoA (avoid device transfers in the
         # scheduler hot loop)
         self.cam_center_np = np.asarray(self.scene.ctx.cams.center)
