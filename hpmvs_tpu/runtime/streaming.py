@@ -81,6 +81,8 @@ class StreamingEngine:
         # rebuild the device scene over the grown camera set (images append,
         # so every existing (image, level) keeps its offsets)
         eng.scene = scene_mod.build_scene(self.model, opt, images=self.images)
+        eng.refresh_host_caches()
+        eng._sharded_fn = None  # stale ctx closure
         new_pack = depth_mod.build_depth_pack(
             np.asarray(eng.scene.ctx.imgs.width),
             np.asarray(eng.scene.ctx.imgs.height), opt.DEPTH_SUBSAMPLE)

@@ -64,17 +64,20 @@ class Engine:
                                            visdata_path=visdata_path)
         self.pack = depth_mod.build_depth_pack(
             self.scene.width_np, self.scene.height_np, opt.DEPTH_SUBSAMPLE)
-        # host copies of the camera SoA (avoid device transfers in the
-        # scheduler hot loop)
-        self.cam_center_np = np.asarray(self.scene.ctx.cams.center)
-        self.cam_xaxis_np = np.asarray(self.scene.ctx.cams.xaxis)
-        self.cam_fsum_np = np.asarray(self.scene.ctx.cams.fsum)
+        self.refresh_host_caches()
         self.patches = PatchStore(opt.MAX_VIEWS)
         self.tree: Optional[LinearOctree] = None
         self.cell_patches: Dict[int, List[int]] = defaultdict(list)
         self.queue: Dict[int, List[int]] = defaultdict(list)
         self.stats = defaultdict(int)
         self.on_patch_event: Optional[Callable] = None
+
+    def refresh_host_caches(self):
+        """Host copies of the camera SoA (avoid device transfers in the
+        scheduler hot loop). Re-call after the scene grows (streaming)."""
+        self.cam_center_np = np.asarray(self.scene.ctx.cams.center)
+        self.cam_xaxis_np = np.asarray(self.scene.ctx.cams.xaxis)
+        self.cam_fsum_np = np.asarray(self.scene.ctx.cams.fsum)
 
     # ------------------------------------------------------------------
     # plumbing
