@@ -72,6 +72,23 @@ def extract_covisibility(model: nvm_io.NvmModel, opt: Options,
     return covis
 
 
+def _chunked_put(a: np.ndarray, chunk_bytes: int = 64 << 20):
+    """Flow-controlled device upload: large single transfers can wedge
+    tunneled TPU backends, so stage in ~64MB row slices."""
+    nbytes = a.size * a.itemsize
+    if nbytes <= chunk_bytes:
+        return jnp.asarray(a)
+    rows_per = max(1, int(chunk_bytes // max(a[0:1].size * a.itemsize, 1)))
+    parts = []
+    for i in range(0, a.shape[0], rows_per):
+        p = jnp.asarray(a[i:i + rows_per])
+        p.block_until_ready()
+        parts.append(p)
+    out = jnp.concatenate(parts, axis=0)
+    out.block_until_ready()
+    return out
+
+
 def build_scene(model: nvm_io.NvmModel, opt: Options,
                 images: Optional[list] = None,
                 visdata_path: Optional[str] = None) -> Scene:
@@ -92,8 +109,8 @@ def build_scene(model: nvm_io.NvmModel, opt: Options,
 
     ctx = popt.SceneCtx(
         cams=cams,
-        imgs=imgs._replace(tex=jnp.asarray(imgs.tex),
-                           texb=jnp.asarray(imgs.texb),
+        imgs=imgs._replace(tex=_chunked_put(imgs.tex),
+                           texb=_chunked_put(imgs.texb),
                            row0=jnp.asarray(imgs.row0),
                            width=jnp.asarray(imgs.width),
                            height=jnp.asarray(imgs.height)),

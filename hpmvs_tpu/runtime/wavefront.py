@@ -525,28 +525,41 @@ class Engine:
         B = len(cids)
         owner = self.tree.containing_cell(pts.reshape(B * M, 3)).reshape(B, M)
 
-        flat = np.zeros(B, np.float32)
-        for i in range(B):
-            neigh = np.unique(owner[i][owner[i] >= 0])
-            if len(neigh) < 1:
-                flat[i] = opt.FLATNESS_NO_NEIGH
-                continue
-            if len(neigh) < 4:
-                flat[i] = opt.FLATNESS_FEW_NEIGH
-                continue
-            n = normals[i] / max(np.linalg.norm(normals[i]), 1e-12)
-            dists = []
-            for cid2 in neigh:
-                plist = self.cell_patches.get(int(cid2))
-                if not plist:
-                    continue
-                pb = self.patches.center[plist[0]]
-                e = float(n @ (pb - centers[i]))
-                dists.append(e * e)
-            if not dists:
-                flat[i] = opt.FLATNESS_NO_NEIGH
-                continue
-            flat[i] = np.sqrt(np.sum(dists) / len(dists)) / widths[i]
+        # vectorized: distinct neighbor cells per row (sorted-row dedup),
+        # first-patch centers via a cellid -> pid map over the cells seen
+        uniq_cells = np.unique(owner[owner >= 0])
+        first_pid = np.full(len(uniq_cells), -1, np.int64)
+        for j, cid2 in enumerate(uniq_cells):
+            plist = self.cell_patches.get(int(cid2))
+            if plist:
+                first_pid[j] = plist[0]
+        # owner -> index into uniq_cells (-1 stays -1)
+        oidx = np.searchsorted(uniq_cells, np.maximum(owner, 0))
+        oidx = np.where(owner >= 0, oidx, -1)
+
+        srt = np.sort(np.where(oidx >= 0, oidx, np.iinfo(np.int64).max),
+                      axis=1)
+        distinct = np.concatenate(
+            [srt[:, :1] < np.iinfo(np.int64).max,
+             (srt[:, 1:] != srt[:, :-1])
+             & (srt[:, 1:] < np.iinfo(np.int64).max)], axis=1)
+        n_neigh = distinct.sum(1)
+
+        pid_nb = np.where(distinct, first_pid[np.minimum(
+            srt, len(uniq_cells) - 1)], -1)
+        has_patch = pid_nb >= 0
+        pb = self.patches.center[np.maximum(pid_nb, 0)]        # (B, M, 3)
+        n_unit = normals / np.maximum(
+            np.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
+        e = np.einsum("bj,bmj->bm", n_unit, pb - centers[:, None, :])
+        sq = np.where(has_patch, e * e, 0.0)
+        cnt = has_patch.sum(1)
+        rms = np.sqrt(sq.sum(1) / np.maximum(cnt, 1)) / widths
+
+        flat = np.where(n_neigh < 1, opt.FLATNESS_NO_NEIGH,
+                        np.where(n_neigh < 4, opt.FLATNESS_FEW_NEIGH,
+                                 np.where(cnt < 1, opt.FLATNESS_NO_NEIGH,
+                                          rms))).astype(np.float32)
 
         self.patches.flatness[pids] = flat
         self.patches.prio_red[pids] = 0  # CellProcessor.cpp:399
