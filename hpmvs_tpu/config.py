@@ -70,6 +70,8 @@ class Options:
 
     # ---- TPU-native engine knobs (no reference equivalent) ----
     USE_WINDOWS: bool = True   # cached-window sampling (ops/windows.py)
+    USE_PALLAS_GN: bool = True  # fused Gauss-Newton kernel on TPU
+                                # (ops/pallas_gn.py); XLA path elsewhere
     WINDOW_SIZE: int = 16      # pixels per cached window side
     FAST_SETREF: bool = True   # setRefImage with shared slot-0 tangent frame
                                # (K sampling passes instead of K^2; the

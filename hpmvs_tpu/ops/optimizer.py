@@ -459,7 +459,16 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
     vector at x and x + h e_i (3 FD columns) plus one trial point, builds the
     PSD JtWJ 3x3 system with Levenberg damping and accept/reject. With a
     window cache the passes run against precomputed projection terms
-    (_residuals_fast)."""
+    (_residuals_fast).
+
+    The objective evaluates the first min(K, MAX_IMAGES_PER_PATCH) view
+    slots -- the cap the reference computes at PatchOptimizer.cpp:298
+    (its loop then ignores the variable; see ops/pallas_gn.py docstring)."""
+    all_views = views
+    kopt = min(views.shape[0], opt.MAX_IMAGES_PER_PATCH)
+    views = views[:kopt]
+    if ws is not None:
+        ws = jax.tree.map(lambda a: a[:kopt], ws)
     ref_ci = jnp.maximum(views[0], 0)
     ref_center = center
     ref_ray = sampling.normalize3(center - ctx.cams.center[ref_ci])
@@ -542,7 +551,7 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
     a2 = x[2] * opt.ANGLE_SCALE
     new_normal = (ax_x * (jnp.sin(a1) * jnp.cos(a2)) + ax_y * jnp.sin(a2)
                   + ax_z * (-jnp.cos(a1) * jnp.cos(a2)))
-    ok = _nviews(views) >= opt.MIN_IMAGES_PER_PATCH
+    ok = _nviews(all_views) >= opt.MIN_IMAGES_PER_PATCH
     return new_center, new_normal, ok, f
 
 
@@ -580,14 +589,9 @@ def _fetch_ws(ctx, opt: Options, views, center, scale):
         jnp.broadcast_to(scale, ci.shape), opt.MAXLEVEL - 1, opt.WINDOW_SIZE)
 
 
-def _run_one(ctx, opt: Options, center, normal, scale, views):
-    """Full runOptimization + write-back for a single patch (all slots static).
-
-    Failures do not early-out (everything is traced); the `ok` flag accumulates
-    every stage's success exactly as the reference's early returns would.
-    With opt.USE_WINDOWS, pixel windows are fetched twice (before and after
-    the refinement moves the patch) and every sampling pass runs gather-free
-    against the cache."""
+def _run_pre(ctx, opt: Options, center, normal, scale, views):
+    """First half of runOptimization: view growth + filters + sort, up to
+    (and excluding) optimizePatch. Returns (center, normal, views, ok, ws)."""
     normal = sampling.normalize3(normal)
     views, ok = _add_images(ctx, opt, center, normal, scale, views)
     ws = _fetch_ws(ctx, opt, views, center, scale) if opt.USE_WINDOWS else None
@@ -597,13 +601,12 @@ def _run_one(ctx, opt: Options, center, normal, scale, views):
     views, ok2, ws = _sort_images(ctx, opt, center, normal, scale, views, ws)
     ok &= ok2
     ok &= _assure_angles(ctx, opt, center, views)
+    return center, normal, views, ok, ws
 
-    new_center, new_normal, ok3, resid = _optimize_patch(
-        ctx, opt, center, normal, scale, views, ws)
-    ok &= ok3
-    center = jnp.where(ok, new_center, center)
-    normal = jnp.where(ok, sampling.normalize3(new_normal), normal)
 
+def _run_post(ctx, opt: Options, center, normal, scale, views, ok):
+    """Second half of runOptimization: re-grow views, final filters, ref
+    re-selection, color. Takes the post-refinement (merged) center/normal."""
     views, ok4 = _add_images(ctx, opt, center, normal, scale, views)
     ok &= ok4
     ws = _fetch_ws(ctx, opt, views, center, scale) if opt.USE_WINDOWS else None
@@ -619,7 +622,54 @@ def _run_one(ctx, opt: Options, center, normal, scale, views):
     ok &= ok7
 
     color = _get_color(ctx, opt, center, scale, views)
-    return center, normal, scale, views, ok, color, resid
+    return center, normal, scale, views, ok, color
+
+
+def _run_one(ctx, opt: Options, center, normal, scale, views):
+    """Full runOptimization + write-back for a single patch (all slots static).
+
+    Failures do not early-out (everything is traced); the `ok` flag accumulates
+    every stage's success exactly as the reference's early returns would.
+    With opt.USE_WINDOWS, pixel windows are fetched twice (before and after
+    the refinement moves the patch) and every sampling pass runs gather-free
+    against the cache."""
+    center, normal, views, ok, ws = _run_pre(ctx, opt, center, normal, scale,
+                                             views)
+    new_center, new_normal, ok3, resid = _optimize_patch(
+        ctx, opt, center, normal, scale, views, ws)
+    ok &= ok3
+    center = jnp.where(ok, new_center, center)
+    normal = jnp.where(ok, sampling.normalize3(new_normal), normal)
+    out = _run_post(ctx, opt, center, normal, scale, views, ok)
+    return out + (resid,)
+
+
+def _use_pallas_gn(opt: Options) -> bool:
+    return (opt.USE_PALLAS_GN and opt.USE_WINDOWS
+            and jax.default_backend() == "tpu")
+
+
+def _optimize_all(ctx, opt: Options, center, normal, scale, views):
+    """Batched runOptimization over B patches: the vmapped stage pipeline
+    around either the fused Pallas Gauss-Newton kernel (ops/pallas_gn.py, TPU)
+    or the vmapped XLA refiner. Returns the optimize_batch tuple."""
+    if not _use_pallas_gn(opt):
+        run = functools.partial(_run_one, ctx, opt)
+        return jax.vmap(run)(center, normal, scale, views)
+
+    from hpmvs_tpu.ops import pallas_gn
+
+    pre = functools.partial(_run_pre, ctx, opt)
+    center, normal, views, ok, ws = jax.vmap(pre)(center, normal, scale,
+                                                  views)
+    new_center, new_normal, ok3, resid = pallas_gn.gn_refine_batch(
+        ctx, opt, center, normal, scale, views, ws)
+    ok &= ok3
+    center = jnp.where(ok[:, None], new_center, center)
+    normal = jnp.where(ok[:, None], sampling.normalize3(new_normal), normal)
+    post = functools.partial(_run_post, ctx, opt)
+    out = jax.vmap(post)(center, normal, scale, views, ok)
+    return out + (resid,)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))
@@ -632,8 +682,8 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     Returns (center', normal', scale', views', ok, color)."""
     from hpmvs_tpu.core import depth as depth_mod
 
-    run = functools.partial(_run_one, ctx, opt)
-    oc, on, os_, ov, ok, col, _ = jax.vmap(run)(center, normal, scale, views)
+    oc, on, os_, ov, ok, col, _ = _optimize_all(ctx, opt, center, normal,
+                                                scale, views)
 
     ok &= (os_ * 2.0 < widths) & (os_ * 2.0 > widths / 2.0)
     ok &= jnp.linalg.norm(oc - parent_c, axis=1) < widths * opt.EXTEND_DRIFT
@@ -662,5 +712,4 @@ def optimize_batch(ctx: SceneCtx, opt: Options, center, normal, scale, views):
     This one call is the moral equivalent of B sequential
     PatchOptimizer::optimize invocations in the reference.
     """
-    run = functools.partial(_run_one, ctx, opt)
-    return jax.vmap(run)(center, normal, scale, views)
+    return _optimize_all(ctx, opt, center, normal, scale, views)

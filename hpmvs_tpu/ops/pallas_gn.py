@@ -1,0 +1,448 @@
+"""Pallas TPU mega-kernel: the complete Gauss-Newton patch refinement loop.
+
+This is the speed-of-light implementation of the reference's per-patch
+optimization (PatchOptimizer::optimizePatch + objective_fn,
+src/hpmvs/PatchOptimizer.cpp:286-382) as ONE fused TPU kernel.
+
+Why a kernel: the XLA graph version (ops/optimizer._optimize_patch) re-reads
+the (B, K, W, W, 3) window cache from HBM and materializes ~350 MB of
+bilinear-sampling intermediates on EVERY residual pass -- ~2 GB of HBM traffic
+per pass x 49 passes (measured with XLA cost analysis). This kernel keeps the
+windows and every intermediate VMEM-resident for the whole 12-iteration
+Levenberg loop: HBM traffic collapses to one bf16 window read per block.
+
+Layout strategy (the whole point):
+  - grid over blocks of NB=128 patches; the PATCH axis is the LANE axis, so
+    every elementwise geometry op runs on fully-packed (r, 128) vregs instead
+    of (B, K, 3)-shaped tensors whose minor dim pads 3 -> 128 lanes.
+  - windows are stored (K*W*3, W, NB) bf16 (pixel values are uint8-exact in
+    bf16): slice [k*W*3 + x*3 + c] is a native (W, 128) tile.
+  - bilinear sampling = hat-weight accumulation: for each window column x,
+    tmp[t, y] += hat(gx[t]-x) * win[y, x]; then tex[t] = sum_y hat(gy[t]-y)
+    * tmp[t, y]. All on the VPU, zero gathers, zero HBM round trips.
+  - the view loop, finite-difference loop and iteration loop are
+    lax.fori_loops so the program stays compact.
+
+The objective evaluates the first min(K, MAX_IMAGES_PER_PATCH) view slots:
+the reference computes exactly this cap (optImgs, PatchOptimizer.cpp:298)
+though its loop then ignores it -- an evident bug we do not reproduce; view
+lists at optimize time are <= 6 after the NCC/sort pipeline anyway.
+
+Numerics match ops/optimizer._optimize_patch (same parameterization, FD
+steps, damping and acceptance) except windows are read through bf16: exact
+for level-0 pixels, ~0.4% relative rounding on averaged pyramid levels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.ops import sampling
+
+NB = 128          # patches per grid step (= lane width)
+P = sampling.PATCH_SIZE
+P2 = P * P
+BIG = 1e9
+GN_EPS = 1e-5
+
+
+class GNStatics(NamedTuple):
+    W: int
+    K: int
+    iters: int
+    angle_scale: float
+    cos_max: float
+    min_images: int
+    angle_bound: float
+    lam0: float
+
+
+def _rows(v):
+    """Split a (3, NB) value into a tuple of (1, NB) rows."""
+    return v[0:1], v[1:2], v[2:3]
+
+
+def _norm3(x, y, z):
+    rn = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-24))
+    return x * rn, y * rn, z * rn
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
+            camc_ref, lim_ref, org_ref, mask_ref, win_ref,
+            xout_ref, fout_ref, *, st: GNStatics):
+    W, K = st.W, st.K
+    f32 = jnp.float32
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (P2, 1), 0)
+    IX = jnp.mod(ii, P).astype(f32)       # (49, 1) texel x index
+    IY = (ii // P).astype(f32)            # (49, 1) texel y index
+
+    scale = scale_ref[:]                   # (1, NB)
+    rc = ref_ref[0]                        # (3, NB) ref center
+    rr = ref_ref[1]                        # ref ray
+    e0 = ref_ref[2]                        # ref cam x axis
+    e1 = ref_ref[3]                        # ref cam y axis
+    e2 = ref_ref[4]                        # ref cam z axis
+    rcx, rcy, rcz = _rows(rc)
+    rrx, rry, rrz = _rows(rr)
+    e0x, e0y, e0z = _rows(e0)
+    e1x, e1y, e1z = _rows(e1)
+    e2x, e2y, e2z = _rows(e2)
+
+    def sample_pass(x):
+        """x: (3, NB). Returns (rho (K, NB), n (1, NB), ref_ok (1, NB))."""
+        x0v, x1v, x2v = _rows(x)
+        cx = rcx + x0v * rrx
+        cy = rcy + x0v * rry
+        cz = rcz + x0v * rrz
+        a1 = x1v * st.angle_scale
+        a2 = x2v * st.angle_scale
+        ca2 = jnp.cos(a2)
+        ffx = jnp.sin(a1) * ca2
+        ffy = jnp.sin(a2)
+        ffz = -jnp.cos(a1) * ca2
+        nx = e0x * ffx + e1x * ffy + e2x * ffz
+        ny = e0y * ffx + e1y * ffy + e2y * ffz
+        nz = e0z * ffx + e1z * ffy + e2z * ffz
+        zx, zy, zz = _norm3(nx, ny, nz)
+        # patch axes (calculatePatchAxis, PatchOptimizer.cpp:532-548)
+        yx, yy_, yz = _norm3(*_cross(zx, zy, zz, e0x, e0y, e0z))
+        xxv, xyv, xzv = _cross(yx, yy_, yz, zx, zy, zz)
+        xxv, xyv, xzv = _norm3(xxv, xyv, xzv)
+        xax = (xxv * scale, xyv * scale, xzv * scale)
+        ydot = (yx * e1x + yy_ * e1y + yz * e1z) * scale
+        yax = (yx * ydot, yy_ * ydot, yz * ydot)
+
+        def view(k):
+            """Texture of view slot k: returns (valid, t0, t1, t2)."""
+            pc = pc_ref[k]                    # (3, NB)
+            pr = pr_ref[k]
+            p9 = p9_ref[k]                    # (9, NB) row-major 3x3
+            cc = camc_ref[k]
+            lim = lim_ref[k]                  # (2, NB)
+            org = org_ref[k]                  # (2, NB)
+            mk = mask_ref[k]                  # (1, NB)
+
+            phc = [pc[i:i + 1] + x0v * pr[i:i + 1] for i in range(3)]
+
+            def pmul(v3, i):
+                return (p9[3 * i:3 * i + 1] * v3[0]
+                        + p9[3 * i + 1:3 * i + 2] * v3[1]
+                        + p9[3 * i + 2:3 * i + 3] * v3[2])
+
+            phx = [phc[i] + pmul(xax, i) for i in range(3)]
+            phy = [phc[i] + pmul(yax, i) for i in range(3)]
+            front = phc[2] > 0.0
+            rwc = 1.0 / jnp.where(front, phc[2], 1.0)
+            c2x = phc[0] * rwc
+            c2y = phc[1] * rwc
+            rwx = 1.0 / jnp.where(phx[2] != 0.0, phx[2], 1.0)
+            dxx = phx[0] * rwx - c2x
+            dxy = phx[1] * rwx - c2y
+            rwy = 1.0 / jnp.where(phy[2] != 0.0, phy[2], 1.0)
+            dyx = phy[0] * rwy - c2x
+            dyy = phy[1] * rwy - c2y
+
+            rx, ry, rz = _norm3(cc[0:1] - cx, cc[1:2] - cy, cc[2:3] - cz)
+            angle_ok = rx * zx + ry * zy + rz * zz >= st.cos_max
+
+            half = P / 2.0
+            adx = half * (jnp.abs(dxx) + jnp.abs(dyx))
+            ady = half * (jnp.abs(dxy) + jnp.abs(dyy))
+            mnx, mxx = c2x - adx, c2x + adx
+            mny, mxy = c2y - ady, c2y + ady
+            m = 3.0
+            bounds_ok = ((mnx >= m) & (mny >= m)
+                         & (mxx < lim[0:1] - m) & (mxy < lim[1:2] - m))
+            oxf, oyf = org[0:1], org[1:2]
+            cover_ok = ((mnx - oxf >= 0.0) & (mny - oyf >= 0.0)
+                        & (mxx - oxf <= W - 1.0) & (mxy - oyf <= W - 1.0))
+            valid = front & angle_ok & bounds_ok & cover_ok & (mk > 0.0)
+
+            tlx = c2x - half * (dxx + dyx) - oxf
+            tly = c2y - half * (dxy + dyy) - oyf
+            gx = jnp.clip(tlx + IX * dxx + IY * dyx, 0.0, W - 1.0)  # (49, NB)
+            gy = jnp.clip(tly + IX * dxy + IY * dyy, 0.0, W - 1.0)
+
+            # x-stage: tmp_c[y, t] = sum_x hat(gx[t]-x) * win[y, x]; y is the
+            # leading (slab) dim so the y-stage below slices it for free
+            tmp = [None, None, None]
+            base = k * (W * 3)
+            for xx in range(W):
+                ax = jnp.maximum(0.0, 1.0 - jnp.abs(gx - float(xx)))
+                axb = ax[None, :, :]                       # (1, 49, NB)
+                for c in range(3):
+                    wsl = win_ref[base + xx * 3 + c].astype(f32)  # (W, NB)
+                    term = axb * wsl[:, None, :]           # (W, 49, NB)
+                    tmp[c] = term if xx == 0 else tmp[c] + term
+            # y-stage: tex_c[t] = sum_y hat(gy[t]-y) * tmp_c[y, t]
+            tex = [None, None, None]
+            for yy in range(W):
+                ay = jnp.maximum(0.0, 1.0 - jnp.abs(gy - float(yy)))
+                for c in range(3):
+                    term = ay * tmp[c][yy]
+                    tex[c] = term if yy == 0 else tex[c] + term
+            # normalize (Patch2d::normalize, Patch2d.hpp:46-84)
+            cen = []
+            var = jnp.zeros((1, NB), f32)
+            for c in range(3):
+                mc = jnp.sum(tex[c], axis=0, keepdims=True) / P2
+                cc_ = tex[c] - mc
+                var = var + jnp.sum(cc_ * cc_, axis=0, keepdims=True)
+                cen.append(cc_)
+            std = jnp.sqrt(var / (P2 * 3.0))
+            inv = jnp.where(std == 0.0, 1.0, 1.0 / std)
+            return valid, cen[0] * inv, cen[1] * inv, cen[2] * inv
+
+        ref_valid, t00, t01, t02 = view(0)
+        ref_ok = jnp.where(ref_valid, 1.0, 0.0)
+
+        krow = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+        def kbody(k, carry):
+            rho, n = carry
+            valid, n0, n1, n2 = view(k)
+            dot = (jnp.sum(t00 * n0, axis=0, keepdims=True)
+                   + jnp.sum(t01 * n1, axis=0, keepdims=True)
+                   + jnp.sum(t02 * n2, axis=0, keepdims=True))
+            incc = 1.0 - dot / (P2 * 3.0)
+            rob = incc / (1.0 + 3.0 * incc)
+            rho_k = jnp.where(valid, rob, 0.0)              # (1, NB)
+            rho = jnp.where(krow == k, rho_k, rho)
+            n = n + jnp.where(valid, 1.0, 0.0)
+            return rho, n
+
+        rho0 = jnp.zeros((K, NB), f32)
+        n0 = jnp.zeros((1, NB), f32)
+        rho, n = jax.lax.fori_loop(1, K, kbody, (rho0, n0))
+        return rho, n, ref_ok
+
+    def mean_or_2(rho, n, ref_ok):
+        mean = jnp.sum(rho, axis=0, keepdims=True) / jnp.maximum(n, 1.0)
+        good = (ref_ok > 0.0) & (n >= st.min_images - 1)
+        return jnp.where(good, mean, 2.0)
+
+    x = x0_ref[:]                                           # (3, NB)
+    h = h_ref[:]                                            # (3, NB)
+    rho, n, ref_ok = sample_pass(x)
+    f = mean_or_2(rho, n, ref_ok)
+    lam = jnp.full((1, NB), st.lam0, f32)
+
+    b = st.angle_bound
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+    is_depth = i3 == 0
+    lo = jnp.where(is_depth, -BIG, -b)
+    hi = jnp.where(is_depth, BIG, b)
+
+    def iter_body(_, carry):
+        x, rho, n, ref_ok, f, lam = carry
+
+        irow = jax.lax.broadcasted_iota(jnp.int32, (3, 1, 1), 0)
+
+        def fd_body(i, cols):
+            hi_ = jnp.sum(jnp.where(i3 == i, h, 0.0), axis=0, keepdims=True)
+            xp = x + jnp.where(i3 == i, 1.0, 0.0) * hi_
+            rho_i, _, _ = sample_pass(xp)
+            col = (rho_i - rho) / hi_                       # (K, NB)
+            return jnp.where(irow == i, col[None], cols)
+
+        cols = jax.lax.fori_loop(0, 3, fd_body,
+                                 jnp.zeros((3, K, NB), f32))
+        nf = jnp.maximum(n, 1.0)
+        wgt = 0.5 / (rho + GN_EPS)                          # (K, NB)
+        g = [jnp.sum(cols[i], axis=0, keepdims=True) / nf for i in range(3)]
+        Hm = {}
+        for i in range(3):
+            for j in range(i, 3):
+                Hm[(i, j)] = jnp.sum(cols[i] * wgt * cols[j],
+                                     axis=0, keepdims=True) / nf
+        d = 1e-6
+        h00 = Hm[(0, 0)] + lam * jnp.maximum(jnp.abs(Hm[(0, 0)]), d)
+        h11 = Hm[(1, 1)] + lam * jnp.maximum(jnp.abs(Hm[(1, 1)]), d)
+        h22 = Hm[(2, 2)] + lam * jnp.maximum(jnp.abs(Hm[(2, 2)]), d)
+        h01, h02, h12 = Hm[(0, 1)], Hm[(0, 2)], Hm[(1, 2)]
+        # Cramer 3x3 solve of Hd step = -g (symmetric)
+        c00 = h11 * h22 - h12 * h12
+        c01 = h02 * h12 - h01 * h22
+        c02 = h01 * h12 - h02 * h11
+        c11 = h00 * h22 - h02 * h02
+        c12 = h01 * h02 - h00 * h12
+        c22 = h00 * h11 - h01 * h01
+        det = h00 * c00 + h01 * c01 + h02 * c02
+        rdet = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+        s0 = -(c00 * g[0] + c01 * g[1] + c02 * g[2]) * rdet
+        s1 = -(c01 * g[0] + c11 * g[1] + c12 * g[2]) * rdet
+        s2 = -(c02 * g[0] + c12 * g[1] + c22 * g[2]) * rdet
+        step = jnp.concatenate([s0, s1, s2], axis=0)        # (3, NB)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        x_new = jnp.clip(x + step, lo, hi)
+
+        rho_t, n_t, ref_t = sample_pass(x_new)
+        f_new = mean_or_2(rho_t, n_t, ref_t)
+        acc = f_new < f                                     # (1, NB)
+        x = jnp.where(acc, x_new, x)
+        rho = jnp.where(acc, rho_t, rho)
+        n = jnp.where(acc, n_t, n)
+        ref_ok = jnp.where(acc, ref_t, ref_ok)
+        f = jnp.where(acc, f_new, f)
+        lam = jnp.clip(jnp.where(acc, lam * 0.5, lam * 4.0), 1e-7, 1e7)
+        return x, rho, n, ref_ok, f, lam
+
+    x, rho, n, ref_ok, f, lam = jax.lax.fori_loop(
+        0, st.iters, iter_body, (x, rho, n, ref_ok, f, lam))
+    xout_ref[:] = x
+    fout_ref[:] = f
+
+
+def _specs(shapes):
+    """One BlockSpec per input, blocking the trailing (batch) dim by NB."""
+    out = []
+    for sh in shapes:
+        lead = sh[:-1]
+        zeros = (0,) * len(lead)
+        out.append(pl.BlockSpec(lead + (NB,),
+                                (lambda i, z=zeros: z + (i,)),
+                                memory_space=pltpu.VMEM))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("st", "interpret"))
+def gn_refine_pallas(st: GNStatics, x0T, hT, refT, scaleT, pcT, prT, p9T,
+                     camcT, limT, orgT, maskT, winT, interpret=False):
+    """All inputs batch-minor; see _prep. Returns (x (3, B), f (1, B))."""
+    Bt = x0T.shape[-1]
+    assert Bt % NB == 0
+    grid = (Bt // NB,)
+    ins = [x0T, hT, refT, scaleT, pcT, prT, p9T, camcT, limT, orgT, maskT,
+           winT]
+    in_specs = _specs([a.shape for a in ins])
+    out_specs = _specs([(3, Bt), (1, Bt)])
+    kern = functools.partial(_kernel, st=st)
+    x, f = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((3, Bt), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bt), jnp.float32)),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=list(out_specs),
+        interpret=interpret,
+    )(*ins)
+    return x, f
+
+
+def _prep(ctx, opt: Options, center, normal, scale, views, ws):
+    """XLA-side packing: per-patch precomputed terms, batch-minor layouts.
+
+    center (B,3), normal (B,3), scale (B,), views (B,K'), ws over K' slots;
+    only the first K = min(K', MAX_IMAGES_PER_PATCH) slots enter the kernel.
+    """
+    from hpmvs_tpu.ops import optimizer as popt
+
+    B = center.shape[0]
+    K = min(views.shape[1], opt.MAX_IMAGES_PER_PATCH)
+    views_k = views[:, :K]
+    win = ws.win[:, :K]
+    level = ws.level[:, :K]
+    ox = ws.ox[:, :K]
+    oy = ws.oy[:, :K]
+
+    ref_ci = jnp.maximum(views[:, 0], 0)
+    ref_center = center
+    ref_ray = sampling.normalize3(center - ctx.cams.center[ref_ci])
+    ax_x = sampling.normalize3(ctx.cams.xaxis[ref_ci])
+    ax_y = sampling.normalize3(ctx.cams.yaxis[ref_ci])
+    ax_z = sampling.normalize3(ctx.cams.zaxis[ref_ci])
+
+    ci = jnp.maximum(views_k, 0)                    # (B, K)
+    Pm = ctx.cams.P[ci, level]                      # (B, K, 3, 4)
+    Pl3 = Pm[..., :3]                               # (B, K, 3, 3)
+    ch = jnp.concatenate([ref_center, jnp.ones((B, 1), center.dtype)], -1)
+    Pc = jnp.einsum("bkij,bj->bki", Pm, ch)         # (B, K, 3)
+    Pr = jnp.einsum("bkij,bj->bki", Pl3, ref_ray)   # (B, K, 3)
+    camc = ctx.cams.center[ci]                      # (B, K, 3)
+    lim = jnp.stack([ctx.imgs.width[ci, level], ctx.imgs.height[ci, level]],
+                    axis=-1).astype(center.dtype)   # (B, K, 2)
+    org = jnp.stack([ox, oy], axis=-1).astype(center.dtype)
+    mask = (views_k >= 0).astype(center.dtype)      # (B, K)
+
+    x0 = jax.vmap(functools.partial(popt._params_from_center_norm, opt=opt))(
+        center, sampling.normalize3(normal), ref_center, ref_ray,
+        ax_x, ax_y, ax_z)                           # (B, 3)
+    h = jnp.stack([0.05 * scale,
+                   jnp.full_like(scale, 0.25),
+                   jnp.full_like(scale, 0.25)], axis=-1)   # (B, 3)
+
+    refT = jnp.stack([ref_center, ref_ray, ax_x, ax_y, ax_z], 0)  # (5,B,3)
+
+    W = win.shape[-2]
+    args = dict(
+        x0T=x0.T,
+        hT=h.T,
+        refT=jnp.transpose(refT, (0, 2, 1)),                 # (5, 3, B)
+        scaleT=scale[None, :],
+        pcT=jnp.transpose(Pc, (1, 2, 0)),                    # (K, 3, B)
+        prT=jnp.transpose(Pr, (1, 2, 0)),
+        p9T=jnp.transpose(Pl3.reshape(B, K, 9), (1, 2, 0)),  # (K, 9, B)
+        camcT=jnp.transpose(camc, (1, 2, 0)),
+        limT=jnp.transpose(lim, (1, 2, 0)),
+        orgT=jnp.transpose(org, (1, 2, 0)),
+        maskT=jnp.transpose(mask, (1, 0))[:, None, :],       # (K, 1, B)
+        # (B, K, y, x, c) -> (K, x, c, y, B) -> (K*W*3, W, B) bf16
+        winT=jnp.transpose(win, (1, 3, 4, 2, 0)).reshape(K * W * 3, W, B)
+        .astype(jnp.bfloat16),
+    )
+    import math
+    st = GNStatics(W=W, K=K, iters=opt.LM_ITERS,
+                   angle_scale=float(opt.ANGLE_SCALE),
+                   cos_max=float(math.cos(opt.MAX_ANGLE)),
+                   min_images=int(opt.MIN_IMAGES_PER_PATCH),
+                   angle_bound=float(opt.ANGLE_BOUND),
+                   lam0=float(opt.LM_LAMBDA0))
+    extra = (ref_center, ref_ray, ax_x, ax_y, ax_z)
+    return st, args, extra
+
+
+def gn_refine_batch(ctx, opt: Options, center, normal, scale, views, ws,
+                    interpret=False):
+    """Batched drop-in for vmapped optimizer._optimize_patch (window path).
+
+    Returns (new_center (B,3), new_normal (B,3), ok (B,), f (B,)).
+    """
+    B = center.shape[0]
+    pad = (-B) % NB
+    if pad:
+        padf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        center = padf(center)
+        normal = padf(jnp.asarray(normal, jnp.float32))
+        scale = padf(scale)
+        views = jnp.concatenate(
+            [views, jnp.full((pad, views.shape[1]), -1, views.dtype)], 0)
+        ws = jax.tree.map(padf, ws)
+
+    st, args, extra = _prep(ctx, opt, center, normal, scale, views, ws)
+    x, f = gn_refine_pallas(st, interpret=interpret, **args)
+    x = x.T                                           # (B, 3)
+    ref_center, ref_ray, ax_x, ax_y, ax_z = extra
+
+    new_center = ref_center + x[:, 0:1] * ref_ray
+    a1 = x[:, 1:2] * opt.ANGLE_SCALE
+    a2 = x[:, 2:3] * opt.ANGLE_SCALE
+    new_normal = (ax_x * (jnp.sin(a1) * jnp.cos(a2)) + ax_y * jnp.sin(a2)
+                  + ax_z * (-jnp.cos(a1) * jnp.cos(a2)))
+    ok = jnp.sum(views >= 0, axis=1) >= opt.MIN_IMAGES_PER_PATCH
+    out = (new_center, new_normal, ok, f[0])
+    if pad:
+        out = tuple(a[:B] for a in out)
+    return out

@@ -1,0 +1,73 @@
+"""The fused Pallas Gauss-Newton kernel must match the XLA refiner.
+
+Runs the kernel in pallas interpret mode on CPU (the TPU lowering is
+exercised by bench.py on hardware); tolerances cover the kernel's bf16
+window reads (exact for level-0 uint8 pixels, ~0.4% relative on averaged
+pyramid levels)."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.core import scene as scene_mod
+from hpmvs_tpu.ops import optimizer as popt
+from hpmvs_tpu.ops import pallas_gn
+from hpmvs_tpu.testing import make_plane_scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=30, LM_ITERS=3)
+    ps = make_plane_scene(n_cams=7, imgsize=256, n_points=60, seed=0)
+    scene = scene_mod.build_scene(ps.model, opt, images=ps.images)
+    c, n, s, v, _ = scene_mod.make_seed_patches(ps.model, scene, opt)
+    B = 16
+    idx = np.arange(B) % len(c)
+    rng = np.random.default_rng(0)
+    cc = jnp.asarray(c[idx] + rng.normal(0, 0.002, (B, 3)).astype(np.float32))
+    nn, ss, vv = jnp.asarray(n[idx]), jnp.asarray(s[idx]), jnp.asarray(v[idx])
+    pre = jax.vmap(functools.partial(popt._run_pre, scene.ctx, opt))(
+        cc, nn, ss, vv)
+    return opt, scene, ps, pre, ss
+
+
+def test_kernel_matches_xla_refiner(setup):
+    opt, scene, ps, (c0, n0, v1, ok0, ws), ss = setup
+    xc, xn, xok, xf = jax.vmap(
+        functools.partial(popt._optimize_patch, scene.ctx, opt))(
+        c0, n0, ss, v1, ws)
+    kc, kn, kok, kf = pallas_gn.gn_refine_batch(
+        scene.ctx, opt, c0, n0, ss, v1, ws, interpret=True)
+    assert bool(jnp.all(xok == kok))
+    np.testing.assert_allclose(np.asarray(kc), np.asarray(xc), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kn), np.asarray(xn), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(kf), np.asarray(xf), atol=5e-3)
+
+
+def test_kernel_converges_to_plane(setup):
+    opt, scene, ps, (c0, n0, v1, ok0, ws), ss = setup
+    kc, kn, kok, kf = pallas_gn.gn_refine_batch(
+        scene.ctx, opt, c0, n0, ss, v1, ws, interpret=True)
+    good = np.asarray(kok & ok0)
+    assert good.sum() >= 8
+    d = np.abs(np.asarray(kc)[good, 2] - ps.plane_z)
+    assert np.median(d) < 0.02
+
+
+def test_kernel_pads_ragged_batch(setup):
+    opt, scene, ps, (c0, n0, v1, ok0, ws), ss = setup
+    B = 5  # not a multiple of the kernel block
+    out = pallas_gn.gn_refine_batch(
+        scene.ctx, opt, c0[:B], n0[:B], ss[:B], v1[:B],
+        jax.tree.map(lambda a: a[:B], ws), interpret=True)
+    full = pallas_gn.gn_refine_batch(
+        scene.ctx, opt, c0, n0, ss, v1, ws, interpret=True)
+    for a, b in zip(out, full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b[:B]),
+                                   atol=1e-6)
