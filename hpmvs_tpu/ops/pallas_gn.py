@@ -69,6 +69,51 @@ def _rows(v):
     return v[0:1], v[1:2], v[2:3]
 
 
+def hat_sample_ch(win_ref, base: int, gx, gy, W: int):
+    """Bilinear sampling of one view's cached window via hat-weight
+    accumulation (the gather-free TPU bilinear; see module docstring).
+
+    win_ref: (K*W*3, W, NB) bf16 window slabs; base = k*W*3 selects view k.
+    gx/gy: (T, NB) local window coordinates. Returns [c0, c1, c2] float32
+    (T, NB) channel planes."""
+    f32 = jnp.float32
+    # x-stage: tmp_c[y, t] = sum_x hat(gx[t]-x) * win[y, x]; y is the
+    # leading (slab) dim so the y-stage below slices it for free
+    tmp = [None, None, None]
+    for xx in range(W):
+        ax = jnp.maximum(0.0, 1.0 - jnp.abs(gx - float(xx)))
+        axb = ax[None, :, :]                       # (1, T, NB)
+        for c in range(3):
+            wsl = win_ref[base + xx * 3 + c].astype(f32)  # (W, NB)
+            term = axb * wsl[:, None, :]           # (W, T, NB)
+            tmp[c] = term if xx == 0 else tmp[c] + term
+    # y-stage: tex_c[t] = sum_y hat(gy[t]-y) * tmp_c[y, t]
+    tex = [None, None, None]
+    for yy in range(W):
+        ay = jnp.maximum(0.0, 1.0 - jnp.abs(gy - float(yy)))
+        for c in range(3):
+            term = ay * tmp[c][yy]
+            tex[c] = term if yy == 0 else tex[c] + term
+    return tex
+
+
+def normalize_ch(tex, n_texels: int):
+    """Patch2d::normalize (Patch2d.hpp:46-84) on channel planes: subtract
+    per-channel mean, divide by the global std. tex: [3 x (T, NB)]."""
+    f32 = jnp.float32
+    cen = []
+    var = None
+    for c in range(3):
+        mc = jnp.sum(tex[c], axis=0, keepdims=True) / n_texels
+        cc_ = tex[c] - mc
+        v = jnp.sum(cc_ * cc_, axis=0, keepdims=True)
+        var = v if var is None else var + v
+        cen.append(cc_)
+    std = jnp.sqrt(var / (n_texels * 3.0))
+    inv = jnp.where(std == 0.0, 1.0, 1.0 / std).astype(f32)
+    return [cen[0] * inv, cen[1] * inv, cen[2] * inv]
+
+
 def _norm3(x, y, z):
     rn = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-24))
     return x * rn, y * rn, z * rn
@@ -175,35 +220,9 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
             gx = jnp.clip(tlx + IX * dxx + IY * dyx, 0.0, W - 1.0)  # (49, NB)
             gy = jnp.clip(tly + IX * dxy + IY * dyy, 0.0, W - 1.0)
 
-            # x-stage: tmp_c[y, t] = sum_x hat(gx[t]-x) * win[y, x]; y is the
-            # leading (slab) dim so the y-stage below slices it for free
-            tmp = [None, None, None]
-            base = k * (W * 3)
-            for xx in range(W):
-                ax = jnp.maximum(0.0, 1.0 - jnp.abs(gx - float(xx)))
-                axb = ax[None, :, :]                       # (1, 49, NB)
-                for c in range(3):
-                    wsl = win_ref[base + xx * 3 + c].astype(f32)  # (W, NB)
-                    term = axb * wsl[:, None, :]           # (W, 49, NB)
-                    tmp[c] = term if xx == 0 else tmp[c] + term
-            # y-stage: tex_c[t] = sum_y hat(gy[t]-y) * tmp_c[y, t]
-            tex = [None, None, None]
-            for yy in range(W):
-                ay = jnp.maximum(0.0, 1.0 - jnp.abs(gy - float(yy)))
-                for c in range(3):
-                    term = ay * tmp[c][yy]
-                    tex[c] = term if yy == 0 else tex[c] + term
-            # normalize (Patch2d::normalize, Patch2d.hpp:46-84)
-            cen = []
-            var = jnp.zeros((1, NB), f32)
-            for c in range(3):
-                mc = jnp.sum(tex[c], axis=0, keepdims=True) / P2
-                cc_ = tex[c] - mc
-                var = var + jnp.sum(cc_ * cc_, axis=0, keepdims=True)
-                cen.append(cc_)
-            std = jnp.sqrt(var / (P2 * 3.0))
-            inv = jnp.where(std == 0.0, 1.0, 1.0 / std)
-            return valid, cen[0] * inv, cen[1] * inv, cen[2] * inv
+            tex = hat_sample_ch(win_ref, k * (W * 3), gx, gy, W)
+            cen = normalize_ch(tex, P2)
+            return valid, cen[0], cen[1], cen[2]
 
         ref_valid, t00, t01, t02 = view(0)
         ref_ok = jnp.where(ref_valid, 1.0, 0.0)

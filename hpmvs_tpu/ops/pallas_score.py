@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: batched view-texture sampling for the NCC stages.
+
+The view-selection pipeline around the Gauss-Newton refiner (filterImagesNCC,
+setRefImage -- src/hpmvs/PatchOptimizer.cpp:138-181, 448-474) is dominated by
+the same 7x7 bilinear texture sampling as the refinement loop itself. The XLA
+hat-weight formulation (ops/windows.sample_from_windows) materializes a
+(B, K, 49, W, 3) intermediate in HBM on every pass (~10 ms per scoring stage
+at B=2048); this kernel keeps the cached windows and the whole sampling
+pipeline VMEM-resident per 128-patch block, exactly like the Gauss-Newton
+mega-kernel (ops/pallas_gn.py), and returns only the normalized textures
+(B, K, 49, 3) -- ~100x less HBM traffic.
+
+The geometry (projected patch grid: top-left + du/dv per view) and all
+validity gates are precomputed in XLA -- they are tiny (B, K) tensors; the
+kernel does only the heavy part: hat-weight bilinear sampling + Patch2d
+normalization (Patch2d.hpp:37-84 semantics).
+
+Layout contract (shared with pallas_gn): patches are the LANE axis in blocks
+of NB=128; windows are (K*W*3, W, NB) bf16 slabs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.geom import camera as cam_ops
+from hpmvs_tpu.ops import sampling
+from hpmvs_tpu.ops import pallas_gn
+from hpmvs_tpu.ops import windows as win_ops
+
+NB = pallas_gn.NB
+P = sampling.PATCH_SIZE
+P2 = P * P
+
+
+def _kernel(geom_ref, win_ref, out_ref, *, W: int, K: int):
+    f32 = jnp.float32
+    ii = jax.lax.broadcasted_iota(jnp.int32, (P2, 1), 0)
+    IX = jnp.mod(ii, P).astype(f32)       # (49, 1) texel x index
+    IY = (ii // P).astype(f32)            # (49, 1) texel y index
+
+    for k in range(K):
+        g = geom_ref[k]                   # (6, NB): tlx, tly, dxx, dxy, dyx, dyy
+        gx = jnp.clip(g[0:1] + IX * g[2:3] + IY * g[4:5], 0.0, W - 1.0)
+        gy = jnp.clip(g[1:2] + IX * g[3:4] + IY * g[5:6], 0.0, W - 1.0)
+        tex = pallas_gn.hat_sample_ch(win_ref, k * (W * 3), gx, gy, W)
+        cen = pallas_gn.normalize_ch(tex, P2)
+        for c in range(3):
+            out_ref[k * 3 + c] = cen[c]
+
+
+@functools.partial(jax.jit, static_argnames=("W", "K", "interpret"))
+def _sample_pallas(geomT, winT, W: int, K: int, interpret=False):
+    """geomT (K, 6, B), winT (K*W*3, W, B) bf16 -> texT (K*3, P2, B) f32."""
+    Bt = geomT.shape[-1]
+    assert Bt % NB == 0
+    grid = (Bt // NB,)
+
+    def spec(sh):
+        lead = sh[:-1]
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(lead + (NB,), (lambda i, z=zeros: z + (i,)),
+                            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel, W=W, K=K)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((K * 3, P2, Bt), jnp.float32),
+        grid=grid,
+        in_specs=[spec(geomT.shape), spec(winT.shape)],
+        out_specs=spec((K * 3, P2, Bt)),
+        interpret=interpret,
+    )(geomT, winT)
+
+
+def _geometry(ctx, opt: Options, center, normal, scale, views, ws):
+    """Batched XLA precompute of the per-view sampling geometry + validity.
+
+    Mirrors ops/windows.sample_from_windows semantics exactly
+    (PatchOptimizer::sampleTexture gates, PatchOptimizer.cpp:476-529):
+    angle gate against normalize(normal), level pinned to the window's level,
+    image-bounds margin 3, window-coverage gate.
+
+    Returns (tl_local, dx, dy  -- (B, K, 2) at the window's level,
+             valid (B, K) bool)."""
+    cams, imgs = ctx.cams, ctx.imgs
+    B, K = views.shape
+    ci = jnp.maximum(views, 0)
+    nz = sampling.normalize3(normal)                    # (B, 3)
+    ref_ci = jnp.maximum(views[:, 0], 0)
+    xax, yax, _ = sampling.patch_axes(cams, ref_ci, normal, scale)
+
+    ray = sampling.normalize3(cams.center[ci] - center[:, None])
+    angle_ok = jnp.sum(ray * nz[:, None], axis=-1) >= jnp.cos(opt.MAX_ANGLE)
+
+    lvl = cam_ops.get_leveli(cams, ci,
+                             jnp.broadcast_to(center[:, None], ci.shape + (3,)),
+                             jnp.broadcast_to(scale[:, None], ci.shape),
+                             opt.MAXLEVEL - 1)
+    level_ok = lvl == ws.level
+    level = ws.level
+
+    cb = jnp.broadcast_to(center[:, None], ci.shape + (3,))
+    c2 = cam_ops.project(cams, ci, cb, level)[..., :2]
+    dx = cam_ops.project(cams, ci, cb + xax[:, None], level)[..., :2] - c2
+    dy = cam_ops.project(cams, ci, cb + yax[:, None], level)[..., :2] - c2
+
+    half = P / 2.0
+    tl = c2 - half * dx - half * dy
+    tr = c2 + half * dx - half * dy
+    bl = c2 - half * dx + half * dy
+    br = c2 + half * dx + half * dy
+    mn = jnp.minimum(jnp.minimum(tl, tr), jnp.minimum(bl, br))
+    mx = jnp.maximum(jnp.maximum(tl, tr), jnp.maximum(bl, br))
+
+    m = 3.0
+    w = imgs.width[ci, level].astype(c2.dtype)
+    h = imgs.height[ci, level].astype(c2.dtype)
+    bounds_ok = ((mn[..., 0] >= m) & (mn[..., 1] >= m)
+                 & (mx[..., 0] < w - m) & (mx[..., 1] < h - m))
+
+    W = ws.win.shape[-2]
+    org = jnp.stack([ws.ox, ws.oy], axis=-1).astype(c2.dtype)
+    cover_ok = (jnp.all(mn - org >= 0.0, axis=-1)
+                & jnp.all(mx - org <= W - 1.0, axis=-1))
+
+    valid = angle_ok & bounds_ok & level_ok & cover_ok
+    tl_local = tl - org
+    return tl_local, dx, dy, valid
+
+
+def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
+                       use_kernel=None, interpret=False):
+    """Batched texture sampling of every view slot from cached windows.
+
+    center (B,3), normal (B,3), scale (B,), views (B,K), ws over (B,K) slots.
+    Returns (tex (B,K,49,3) normalized f32, valid (B,K) bool; valid does NOT
+    include views >= 0 -- same contract as windows.sample_from_windows).
+
+    use_kernel None: kernel on TPU, XLA fallback elsewhere. The fallback is
+    the same math through windows.hat_sample (f32 windows; the kernel reads
+    windows as bf16 -- exact for level-0 pixels)."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+
+    tl, dx, dy, valid = _geometry(ctx, opt, center, normal, scale, views, ws)
+    W = ws.win.shape[-2]
+
+    if not (use_kernel or interpret):
+        grid = sampling_grid()                           # (49, 2)
+        gx = (tl[..., None, 0] + grid[:, 0] * dx[..., None, 0]
+              + grid[:, 1] * dy[..., None, 0])
+        gy = (tl[..., None, 1] + grid[:, 0] * dx[..., None, 1]
+              + grid[:, 1] * dy[..., None, 1])
+        gx = jnp.clip(gx, 0.0, W - 1.0)
+        gy = jnp.clip(gy, 0.0, W - 1.0)
+        tex = win_ops.hat_sample(ws.win, gx, gy)
+        return sampling.normalize_tex(tex), valid
+
+    B, K = views.shape
+    geom = jnp.concatenate([tl, dx, dy], axis=-1)        # (B, K, 6)
+    pad = (-B) % NB
+    if pad:
+        geom = jnp.concatenate(
+            [geom, jnp.zeros((pad, K, 6), geom.dtype)], 0)
+        win = jnp.concatenate(
+            [ws.win, jnp.zeros((pad,) + ws.win.shape[1:], ws.win.dtype)], 0)
+    else:
+        win = ws.win
+    geomT = jnp.transpose(geom, (1, 2, 0))               # (K, 6, B)
+    winT = (jnp.transpose(win, (1, 3, 4, 2, 0))
+            .reshape(K * W * 3, W, B + pad).astype(jnp.bfloat16))
+    texT = _sample_pallas(geomT, winT, W, K, interpret=interpret)
+    tex = jnp.transpose(texT.reshape(K, 3, P2, B + pad), (3, 0, 2, 1))
+    if pad:
+        tex = tex[:B]
+    return tex, valid
+
+
+def sampling_grid():
+    """(49, 2) float32 texel (col, row) indices of the 7x7 grid."""
+    ii = jnp.arange(P2)
+    return jnp.stack([jnp.mod(ii, P), ii // P], axis=-1).astype(jnp.float32)

@@ -1,0 +1,80 @@
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.core import scene as scene_mod
+from hpmvs_tpu.ops import optimizer as popt
+from hpmvs_tpu.ops import pallas_score
+from hpmvs_tpu.ops import sampling, windows as win_ops
+
+
+@pytest.fixture(scope="module")
+def built(plane_scene):
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=30, LM_ITERS=8)
+    scene = scene_mod.build_scene(plane_scene.model, opt,
+                                  images=plane_scene.images)
+    seeds = scene_mod.make_seed_patches(plane_scene.model, scene, opt)
+    return scene, opt, seeds
+
+
+def _grown(built, B):
+    """Patches with grown view lists + fetched windows (the kernel's input)."""
+    scene, opt, (c, n, s, v, _) = built
+    cc, nn, ss, vv = (jnp.asarray(c[:B]), jnp.asarray(n[:B]),
+                      jnp.asarray(s[:B]), jnp.asarray(v[:B]))
+    nrm = sampling.normalize3(nn)
+    views, _ = jax.vmap(functools.partial(popt._add_images, scene.ctx, opt))(
+        cc, nrm, ss, vv)
+    ws = jax.vmap(functools.partial(popt._fetch_ws, scene.ctx, opt))(
+        views, cc, ss)
+    return scene, opt, cc, nrm, ss, views, ws
+
+
+def test_batched_fallback_matches_vmapped(built):
+    """sample_views_batch (XLA fallback) == vmapped sample_from_windows."""
+    scene, opt, cc, nrm, ss, views, ws = _grown(built, 48)
+
+    tex_b, val_b = pallas_score.sample_views_batch(
+        scene.ctx, opt, cc, nrm, ss, views, ws, use_kernel=False)
+
+    def one(views1, c1, s1, n1, ws1):
+        ci = jnp.maximum(views1, 0)
+        xax, yax, _ = sampling.patch_axes(scene.ctx.cams,
+                                          jnp.maximum(views1[0], 0), n1, s1)
+        nz = sampling.normalize3(n1)
+        k = views1.shape[0]
+        return win_ops.sample_from_windows(
+            scene.ctx.cams, scene.ctx.imgs, ws1, ci,
+            jnp.broadcast_to(c1, (k, 3)), jnp.broadcast_to(s1, (k,)),
+            jnp.broadcast_to(xax, (k, 3)), jnp.broadcast_to(yax, (k, 3)),
+            jnp.broadcast_to(nz, (k, 3)),
+            jnp.cos(opt.MAX_ANGLE), opt.MAXLEVEL - 1)
+
+    tex_v, val_v = jax.vmap(one)(views, cc, ss, nrm, ws)
+    np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_v))
+    both = np.asarray(val_b) & (np.asarray(views) >= 0)
+    np.testing.assert_allclose(np.asarray(tex_b)[both],
+                               np.asarray(tex_v)[both], atol=1e-5)
+
+
+def test_kernel_interpret_matches_fallback(built):
+    """The pallas kernel (interpret mode) == the XLA fallback, within bf16
+    window rounding."""
+    scene, opt, cc, nrm, ss, views, ws = _grown(built, 32)
+
+    tex_f, val_f = pallas_score.sample_views_batch(
+        scene.ctx, opt, cc, nrm, ss, views, ws, use_kernel=False)
+    tex_k, val_k = pallas_score.sample_views_batch(
+        scene.ctx, opt, cc, nrm, ss, views, ws, use_kernel=True,
+        interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(val_f), np.asarray(val_k))
+    both = np.asarray(val_f) & (np.asarray(views) >= 0)
+    np.testing.assert_allclose(np.asarray(tex_k)[both],
+                               np.asarray(tex_f)[both], atol=2e-2)
