@@ -71,15 +71,27 @@ class Options:
     # ---- TPU-native engine knobs (no reference equivalent) ----
     USE_WINDOWS: bool = True   # cached-window sampling (ops/windows.py)
     USE_PALLAS_GN: bool = True  # fused Gauss-Newton kernel on TPU
+    USE_BATCHED_STAGES: bool = True  # batch-level stage pipeline + scoring kernel
+    REUSE_POST_WINDOWS: bool = True  # post stage keeps pre-stage windows for
+                               # surviving view slots; only new views DMA
+                               # (drift past coverage -> view drops via the
+                               # standard gates; see _run_post_b docstring)
                                 # (ops/pallas_gn.py); XLA path elsewhere
-    WINDOW_SIZE: int = 16      # pixels per cached window side
+    WINDOW_SIZE: int = 12      # pixels per cached window side (the 7x7 grid
+                               # spans ~7 px at the sampling level, leaving
+                               # ~2.5 px drift margin; W=16 costs ~28% more
+                               # wall-clock for ~0.002 lower plane-RMS --
+                               # measured on TPU, see README performance)
     FAST_SETREF: bool = True   # setRefImage with shared slot-0 tangent frame
                                # (K sampling passes instead of K^2; the
                                # reference re-derives the frame per candidate
                                # ref -- documented divergence)
     MAX_VIEWS: int = 16        # view slots per patch (reference: unbounded list)
     MAX_COVIS: int = 32        # covisible candidates considered per ref image
-    LM_ITERS: int = 12         # Gauss-Newton iterations (replaces BOBYQA <=1000 evals)
+    LM_ITERS: int = 12         # Gauss-Newton trial iterations (replaces BOBYQA <=1000 evals)
+    LM_INNER: int = 3          # trial steps per full FD Jacobian refresh; between
+                               # refreshes the Jacobian follows Broyden rank-1
+                               # secant updates (1 sampling pass per trial)
     LM_LAMBDA0: float = 1e-2   # initial Levenberg damping
     BATCH: int = 2048          # wavefront batch bucket size
     DTYPE: str = "float32"

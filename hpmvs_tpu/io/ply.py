@@ -90,6 +90,77 @@ def write_ext_ply(
             fh.write("\n".join(lines) + "\n")
 
 
+def read_ext_ply(path: str):
+    """Read a PLY written by write_ext_ply (ASCII or binary, any property
+    subset). Returns a dict with keys 'xyz' (N,3) f32, and -- when present --
+    'normals' (N,3) f32, 'colors' (N,3) uint8, 'scales' (N,) f32,
+    'visibility' (list of int arrays)."""
+    with open(path, "rb") as fh:
+        assert fh.readline().strip() == b"ply"
+        binary = False
+        endian = "<"
+        n = nvis = 0
+        props = []          # vertex property names in order
+        in_vertex = False
+        while True:
+            line = fh.readline().strip().decode()
+            if line.startswith("format"):
+                binary = "binary" in line
+                endian = ">" if "big" in line else "<"
+            elif line.startswith("element vertex"):
+                n = int(line.split()[-1])
+                in_vertex = True
+            elif line.startswith("element point_visibility"):
+                nvis = int(line.split()[-1])
+                in_vertex = False
+            elif line.startswith("element"):
+                in_vertex = False
+            elif line.startswith("property") and in_vertex:
+                toks = line.split()
+                props.append((toks[-1], toks[1]))
+            elif line == "end_header":
+                break
+
+        fields = [(name, (np.uint8 if typ == "uchar"
+                          else np.dtype(endian + "f4")))
+                  for name, typ in props]
+        dt = np.dtype(fields)
+        if binary:
+            rec = np.frombuffer(fh.read(n * dt.itemsize), dtype=dt, count=n)
+            vis = []
+            for _ in range(nvis):
+                k = int(np.frombuffer(fh.read(4),
+                                      dtype=np.dtype(endian + "u4"))[0])
+                vis.append(np.frombuffer(fh.read(4 * k),
+                                         dtype=np.dtype(endian + "u4")
+                                         ).astype(np.int64))
+        else:
+            rows = [fh.readline().split() for _ in range(n)]
+            rec = np.zeros(n, dtype=dt)
+            for j, (name, _) in enumerate(fields):
+                col = np.array([float(r[j]) for r in rows])
+                rec[name] = col
+            vis = []
+            for _ in range(nvis):
+                toks = [int(t) for t in fh.readline().split()]
+                vis.append(np.asarray(toks[1:1 + toks[0]], dtype=np.int64))
+
+        names = [f[0] for f in fields]
+        out = {"xyz": np.stack([rec["x"], rec["y"], rec["z"]],
+                               axis=1).astype(np.float32)}
+        if "nx" in names:
+            out["normals"] = np.stack([rec["nx"], rec["ny"], rec["nz"]],
+                                      axis=1).astype(np.float32)
+        if "red" in names:
+            out["colors"] = np.stack([rec["red"], rec["green"], rec["blue"]],
+                                     axis=1).astype(np.uint8)
+        if "scalar_scale" in names:
+            out["scales"] = np.asarray(rec["scalar_scale"], dtype=np.float32)
+        if nvis:
+            out["visibility"] = vis
+        return out
+
+
 def read_ply_xyz(path: str) -> np.ndarray:
     """Minimal ASCII PLY reader for tests: returns the (N,3) xyz block."""
     with open(path, "r") as fh:

@@ -291,6 +291,301 @@ def _set_ref_image(ctx, opt: Options, center, normal, scale, views, ws=None):
 
 
 # ---------------------------------------------------------------------------
+# Batched stages: the same view pipeline written over a leading batch axis
+# (no vmap), with the texture sampling of every NCC stage dispatched to the
+# pallas scoring kernel on TPU (ops/pallas_score.py). Same semantics and
+# reference citations as the single-patch versions above.
+# ---------------------------------------------------------------------------
+
+def _permute_ws_b(ws, order):
+    """Batched window-cache slot permutation (pallas one-hot combine on TPU;
+    the XLA gather of 3 KB window slices is ~30x slower). order: (B, K)."""
+    from hpmvs_tpu.ops import pallas_score
+    return pallas_score.permute_wst(ws, order)
+
+
+def _fetch_ws_b(ctx, opt: Options, views, center, scale, prev=None,
+                nv_old=None):
+    """Batched kernel-layout window fetch: views (B, K), center (B, 3),
+    scale (B,). One transpose into the slab layout here; no window moves
+    downstream except slot permutes.
+
+    prev + nv_old: selective re-fetch -- the first nv_old slots keep their
+    windows from `prev` (the pre-stage cache, in matching slot order: the
+    post add-images compaction keeps surviving views first); only the newly
+    added slots DMA from HBM."""
+    ci = jnp.maximum(views, 0)
+    mask = None
+    if prev is not None:
+        k = views.shape[1]
+        mask = (jnp.arange(k)[None] >= nv_old[:, None]) & (views >= 0)
+    return win_ops.fetch_windows_t(
+        ctx.cams, ctx.imgs, ci,
+        jnp.broadcast_to(center[:, None], ci.shape + (3,)),
+        jnp.broadcast_to(scale[:, None], ci.shape),
+        opt.MAXLEVEL - 1, opt.WINDOW_SIZE, fetch_mask=mask, prev=prev)
+
+
+def _add_images_b(ctx, opt: Options, center, normal, scale, views):
+    """Batched addImages (PatchOptimizer.cpp:225-258). normal must be unit."""
+    ref_valid = views[:, 0] >= 0
+    ref = jnp.maximum(views[:, 0], 0)
+    cand = ctx.covis[ref]                                   # (B, C)
+    cand_ci = jnp.maximum(cand, 0)
+    cand_valid = (cand >= 0) & ref_valid[:, None]
+
+    present = jnp.any(cand[:, :, None] == views[:, None, :], axis=-1)
+
+    ray = sampling.normalize3(ctx.cams.center[cand_ci] - center[:, None])
+    angle_ok = jnp.sum(ray * sampling.normalize3(normal)[:, None], axis=-1) \
+        >= jnp.cos(opt.MAX_ANGLE)
+
+    cb = jnp.broadcast_to(center[:, None], cand_ci.shape + (3,))
+    lvl = jnp.round(cam_ops.get_level(ctx.cams, cand_ci, cb,
+                                      scale[:, None])).astype(jnp.int32)
+    lvl_ok = (lvl >= opt.MINLEVEL) & (lvl < opt.MAXLEVEL - 2)
+    lvl_c = jnp.clip(lvl, 0, opt.MAXLEVEL)
+
+    uvw = cam_ops.project(ctx.cams, cand_ci, cb, lvl_c)
+    w = ctx.imgs.width[cand_ci, lvl_c].astype(uvw.dtype)
+    h = ctx.imgs.height[cand_ci, lvl_c].astype(uvw.dtype)
+    inb = ((uvw[..., 0] >= 0.0) & (uvw[..., 0] < w - 1)
+           & (uvw[..., 1] >= 0.0) & (uvw[..., 1] < h - 1))
+
+    accept = cand_valid & ~present & angle_ok & lvl_ok & inb
+    ext_vals = jnp.concatenate([views, jnp.where(accept, cand, INVALID)], -1)
+    ext_valid = jnp.concatenate([views >= 0, accept], -1)
+    k = views.shape[1]
+    new_views = _compact(ext_vals, ext_valid)[:, :k]
+    ok = ref_valid & (_nviews(new_views) >= opt.MIN_IMAGES_PER_PATCH)
+    return new_views, ok
+
+
+def _sample_views_b(ctx, opt: Options, center, normal, scale, views, ws):
+    """Batched _sample_views through the scoring kernel (TPU) / XLA fallback.
+    z axis = normalize(normal), tangent frame from slot 0 -- the _set_inccs
+    convention (PatchOptimizer.cpp:448-474). Returns (tex (B,K,49,3),
+    valid (B,K) incl. views >= 0)."""
+    from hpmvs_tpu.ops import pallas_score
+    tex, valid = pallas_score.sample_views_batch(ctx, opt, center, normal,
+                                                 scale, views, ws)
+    return tex, valid & (views >= 0)
+
+
+def _filter_ncc_b(ctx, opt: Options, center, normal, scale, views, alpha,
+                  ws):
+    """Batched filterImagesNCC (PatchOptimizer.cpp:138-152)."""
+    k = views.shape[1]
+    tex, valid = _sample_views_b(ctx, opt, center, normal, scale, views, ws)
+    ref_ok = valid[:, 0]
+    nccs = jnp.einsum("bpc,bkpc->bk", tex[:, 0], tex) / sampling.N_TEXELS
+    inccs = jnp.where(valid & ref_ok[:, None], 1.0 - nccs, 2.0)
+    inccs = inccs.at[:, 0].set(jnp.where(ref_ok, 0.0, 2.0))
+    keep = (views >= 0) & (inccs < 1.0 - alpha)
+    keep = keep.at[:, 0].set(views[:, 0] >= 0)  # always keep the reference
+    order = jnp.argsort(jnp.logical_not(keep), axis=-1, stable=True)
+    count = jnp.sum(keep, axis=-1)
+    new_views = jnp.where(jnp.arange(k) < count[:, None],
+                          jnp.take_along_axis(views, order, -1), INVALID)
+    ok = _nviews(new_views) >= opt.MIN_IMAGES_PER_PATCH
+    # callers compose `order` into one deferred window-cache permute
+    return new_views, ok, order
+
+
+def _sort_images_b(ctx, opt: Options, center, normal, scale, views):
+    """Batched sortImages greedy ordering (PatchOptimizer.cpp:183-223)."""
+    B, k = views.shape
+    valid = views >= 0
+    ci = jnp.maximum(views, 0)
+
+    ref_level = jnp.clip(
+        jnp.round(cam_ops.get_level(ctx.cams, ci[:, 0], center, scale)),
+        0, opt.MAXLEVEL - 1).astype(jnp.int32)
+    rays = sampling.normalize3(ctx.cams.center[ci] - center[:, None])
+    cosa = jnp.sum(rays * sampling.normalize3(normal)[:, None], axis=-1)
+    cand = valid & (cosa > 0)
+    cb = jnp.broadcast_to(center[:, None], ci.shape + (3,))
+    wscale = cam_ops.get_scale(ctx.cams, ci, cb,
+                               jnp.broadcast_to(ref_level[:, None], ci.shape)
+                               ) / jnp.where(cosa > 0, cosa, 1.0)
+
+    order = jnp.argsort(jnp.logical_not(cand), axis=-1, stable=True)
+    ncand = jnp.sum(cand, axis=-1)
+    c_views = jnp.where(jnp.arange(k) < ncand[:, None],
+                        jnp.take_along_axis(views, order, -1), INVALID)
+    c_w = jnp.take_along_axis(wscale, order, -1)
+    c_rays = jnp.take_along_axis(rays, order[:, :, None], 1)
+    c_valid = c_views >= 0
+    c_w = c_w.at[:, 0].set(0.0)
+    c_w = jnp.where(c_valid, c_w, BIG)
+
+    threshold = 1.0 - jnp.cos(opt.SORT_SUPPRESS_DEG * jnp.pi / 180.0)
+    slot = jnp.arange(k)
+
+    def body(i, state):
+        w, out, picks = state
+        pick = jnp.argmin(w, axis=-1)                        # (B,)
+        pv = jnp.take_along_axis(c_views, pick[:, None], -1)[:, 0]
+        wp = jnp.take_along_axis(w, pick[:, None], -1)[:, 0]
+        out = out.at[:, i].set(jnp.where(wp < BIG, pv, INVALID))
+        picks = picks.at[:, i].set(pick)
+        pr = jnp.take_along_axis(c_rays, pick[:, None, None], 1)
+        ftmp = jnp.clip(1.0 - jnp.sum(pr * c_rays, axis=-1),
+                        threshold / 2.0, threshold)
+        w = w * (threshold / ftmp)
+        w = jnp.where(slot[None, :] == pick[:, None], BIG, w)
+        return w, out, picks
+
+    out0 = jnp.full((B, k), INVALID, dtype=views.dtype)
+    picks0 = jnp.zeros((B, k), jnp.int32)
+    _, sorted_views, picks = jax.lax.fori_loop(0, k, body,
+                                               (c_w, out0, picks0))
+    ok = (_nviews(sorted_views) >= opt.MIN_IMAGES_PER_PATCH) & (ncand >= 2)
+    perm = jnp.take_along_axis(order, picks, -1)
+    return sorted_views, ok, perm
+
+
+def _assure_angles_b(ctx, opt: Options, center, views):
+    """Batched assureImageAngles (PatchOptimizer.cpp:105-123)."""
+    k = views.shape[1]
+    ci = jnp.maximum(views, 0)
+    rays = sampling.normalize3(ctx.cams.center[ci] - center[:, None])
+    dots = jnp.clip(jnp.einsum("bkd,bjd->bkj", rays, rays), -1.0, 1.0)
+    ang = jnp.arccos(dots)
+    valid = views >= 0
+    pair = valid[:, :, None] & valid[:, None, :] \
+        & ~jnp.eye(k, dtype=bool)[None]
+    good = pair & (ang > opt.MIN_ANGLE) & (ang < opt.MAX_ANGLE)
+    return jnp.any(good, axis=(-1, -2))
+
+
+def _get_color_b(ctx, opt: Options, center, scale, views):
+    """Batched Scene::getColor (Scene.cpp:300-327)."""
+    ci = jnp.maximum(views, 0)
+    valid = views >= 0
+    nlev = ctx.cams.n_levels - 1
+    cb = jnp.broadcast_to(center[:, None], ci.shape + (3,))
+    sb = jnp.broadcast_to(scale[:, None], ci.shape)
+    lvl = cam_ops.get_leveli(ctx.cams, ci, cb, sb, nlev)
+    uvw = cam_ops.project(ctx.cams, ci, cb, lvl)
+    w = ctx.imgs.width[ci, lvl].astype(uvw.dtype)
+    h = ctx.imgs.height[ci, lvl].astype(uvw.dtype)
+    gx = jnp.clip(uvw[..., 0], 0.0, jnp.maximum(w - 2.0, 0.0))
+    gy = jnp.clip(uvw[..., 1], 0.0, jnp.maximum(h - 2.0, 0.0))
+    cols = sampling.bilinear(ctx.imgs.tex, ctx.imgs.row0, ctx.imgs.width,
+                             ci, lvl, gx, gy)               # (B, K, 3)
+    norms = jnp.where(valid, jnp.linalg.norm(cols, axis=-1), BIG)
+    order = jnp.argsort(norms, axis=-1)
+    n = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    midx = jnp.take_along_axis(order, (n // 2)[:, None], -1)
+    med = jnp.take_along_axis(cols, midx[:, :, None], 1)[:, 0]
+    first = jnp.take_along_axis(cols, order[:, :1, None], 1)[:, 0]
+    return jnp.where(jnp.linalg.norm(med, axis=-1, keepdims=True) > 250.0,
+                     first, med)
+
+
+def _run_pre_b(ctx, opt: Options, center, normal, scale, views):
+    """Batched first half of runOptimization (growth + filters + sort).
+
+    The window cache is permuted ONCE with the composition of the filter
+    compaction and the sort permutation (window slabs are ~3 KB per slot;
+    moving them per stage costs more than every other stage op combined)."""
+    normal = sampling.normalize3(normal)
+    views, ok = _add_images_b(ctx, opt, center, normal, scale, views)
+    ws = _fetch_ws_b(ctx, opt, views, center, scale)
+    views, ok1, o1 = _filter_ncc_b(ctx, opt, center, normal, scale, views,
+                                   opt.NCC_ALPHA_1, ws)
+    ok &= ok1
+    views, ok2, o2 = _sort_images_b(ctx, opt, center, normal, scale, views)
+    ok &= ok2
+    ok &= _assure_angles_b(ctx, opt, center, views)
+    ws = _permute_ws_b(ws, jnp.take_along_axis(o1, o2, axis=-1))
+    return center, normal, views, ok, ws
+
+
+def _run_post_b(ctx, opt: Options, center, normal, scale, views, ok,
+                ws_pre=None):
+    """Batched second half of runOptimization, fused: one window fetch and
+    ONE texture-sampling pass; filterImagesNCC(a2), filterImagesByAngle,
+    assureImageAngles, setRefImage and the final filterImagesNCC(a2)
+    (PatchOptimizer.cpp:62-73) all read the same pairwise NCC matrix and
+    reduce to mask/index ops -- no window permutes, no resampling.
+
+    With ws_pre (and REUSE_POST_WINDOWS), surviving view slots keep their
+    pre-stage windows and only newly added views DMA from HBM; reused
+    windows were cut at the pre-refinement center, so views whose refined
+    grid drifted past the coverage margin drop out via the standard
+    level/coverage gates (slightly conservative vs a full re-fetch).
+
+    Documented divergence (see README): every NCC here is evaluated in the
+    incoming slot-0 tangent frame; the reference resamples after each
+    reorder, so its post-setRefImage NCCs use the *new* reference frame.
+    The frames differ by an in-plane rotation; near-threshold keep/drop
+    decisions can flip for a small fraction of views (statistical parity,
+    verified in tests/test_pallas_score.py)."""
+    B, k = views.shape
+    nv_old = _nviews(views)
+    views, ok4 = _add_images_b(ctx, opt, center, normal, scale, views)
+    ok &= ok4
+    if ws_pre is not None and opt.REUSE_POST_WINDOWS:
+        ws = _fetch_ws_b(ctx, opt, views, center, scale, prev=ws_pre,
+                         nv_old=nv_old)
+    else:
+        ws = _fetch_ws_b(ctx, opt, views, center, scale)
+    tex, vv = _sample_views_b(ctx, opt, center, normal, scale, views, ws)
+    nccs = jnp.einsum("bapc,bkpc->bak", tex, tex) / sampling.N_TEXELS
+    pair_ok = vv[:, :, None] & vv[:, None, :]
+    eye = jnp.eye(k, dtype=bool)[None]
+    # plain pairwise incc (2.0 where either sample failed; 0 on the diagonal
+    # of valid slots) -- the _set_inccs convention per reference row
+    incc = jnp.where(pair_ok, 1.0 - nccs, 2.0)
+    incc = jnp.where(eye, jnp.where(vv, 0.0, 2.0)[:, :, None], incc)
+
+    # filterImagesNCC(NCC_ALPHA_2) against the current reference (slot 0)
+    keep = (views >= 0) & (incc[:, 0] < 1.0 - opt.NCC_ALPHA_2)
+    keep = keep.at[:, 0].set(views[:, 0] >= 0)  # ref always kept
+    ok &= jnp.sum(keep, axis=-1) >= opt.MIN_IMAGES_PER_PATCH
+
+    # filterImagesByAngle (PatchOptimizer.cpp:125-136)
+    ci = jnp.maximum(views, 0)
+    rays = sampling.normalize3(ctx.cams.center[ci] - center[:, None])
+    keep &= jnp.sum(rays * normal[:, None], axis=-1) > jnp.cos(opt.MAX_ANGLE)
+    ok &= jnp.sum(keep, axis=-1) >= opt.MIN_IMAGES_PER_PATCH
+
+    # assureImageAngles over the kept views
+    dots = jnp.clip(jnp.einsum("bkd,bjd->bkj", rays, rays), -1.0, 1.0)
+    ang = jnp.arccos(dots)
+    pair = keep[:, :, None] & keep[:, None, :] & ~eye
+    ok &= jnp.any(pair & (ang > opt.MIN_ANGLE) & (ang < opt.MAX_ANGLE),
+                  axis=(-1, -2))
+
+    # setRefImage: argmin over kept slots of the summed robust incc
+    # (robustify only real pair scores; masked 2.0 sentinels stay 2.0)
+    rincc = jnp.where(pair_ok & ~eye, sampling.robust_incc(incc), incc)
+    sums = jnp.sum(jnp.where(keep[:, None, :], rincc, 0.0), axis=-1)
+    sums = jnp.where(keep, sums, BIG)
+    best = jnp.argmin(sums, axis=-1)                        # (B,)
+    best = jnp.where(jnp.sum(keep, axis=-1) <= 1, 0, best)
+    bi = best[:, None]
+
+    # final filterImagesNCC(NCC_ALPHA_2) against the new reference = row
+    # `best` of the incc matrix (divergence note above)
+    incc_b = jnp.take_along_axis(incc, best[:, None, None], 1)[:, 0]
+    keep_b = jnp.take_along_axis(keep, bi, -1)
+    slot = jnp.arange(k)[None]
+    keep2 = keep & (incc_b < 1.0 - opt.NCC_ALPHA_2)
+    keep2 = jnp.where(slot == bi, keep_b, keep2)            # new ref kept
+    ok &= jnp.sum(keep2, axis=-1) >= opt.MIN_IMAGES_PER_PATCH
+
+    # realize the swap(0, best) + stable compaction as one view-id shuffle
+    order = jnp.where(slot == 0, bi, jnp.where(slot == bi, 0, slot))
+    views = _compact(jnp.take_along_axis(views, order, -1),
+                     jnp.take_along_axis(keep2, order, -1))
+    color = _get_color_b(ctx, opt, center, scale, views)
+    return center, normal, scale, views, ok, color
+
+
+# ---------------------------------------------------------------------------
 # The NCC objective + damped-Newton refinement (replaces nlopt BOBYQA).
 # ---------------------------------------------------------------------------
 
@@ -509,14 +804,10 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
     # plain primal evaluation -- pallas-kernel friendly)
     h = jnp.stack([0.05 * scale, jnp.asarray(0.25), jnp.asarray(0.25)])
 
-    def body(_, state):
-        x, rho, n, ref_ok, f, lam = state
-        # FD Jacobian of the residual vector: 3 primal evals
-        cols = []
-        for i in range(3):
-            rho_i, _, _ = res_vec(x + h[i] * eye3[i])
-            cols.append((rho_i - rho) / h[i])
-        J = jnp.stack(cols)                                  # (3, K)
+    def inner_body(_, state):
+        """One damped-Newton trial step from the current (possibly
+        Broyden-updated) Jacobian: 1 residual pass."""
+        x, rho, n, ref_ok, f, lam, J = state
         # Gauss-Newton on rho = r^2: grad f = sum_v J_v / n,
         # H ~= sum_v J_v J_v^T / (2 rho_v) / n -- PSD 3x3
         n_f = jnp.maximum(n, 1.0)
@@ -528,6 +819,14 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         x_new = jnp.clip(x + step, lo, hi)
         rho_t, n_t, ref_t = res_vec(x_new)   # trial (reused as next primal)
+        # Broyden rank-1 secant update (valid whether or not we accept):
+        # J += (drho - J^T dx) dx^T / |dx|^2
+        dx = x_new - x
+        dd = jnp.sum(dx * dx)
+        pred = J.T @ dx                                      # (K,)
+        upd = dx[:, None] * ((rho_t - rho - pred) / jnp.maximum(dd, 1e-20)
+                             )[None, :]
+        J = jnp.where(dd > 1e-20, J + upd, J)
         f_new = mean_or_2(rho_t, n_t, ref_t)
         accept = f_new < f
         x = jnp.where(accept, x_new, x)
@@ -537,12 +836,28 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
         f = jnp.where(accept, f_new, f)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-7, 1e7)
+        return x, rho, n, ref_ok, f, lam, J
+
+    inner = max(1, int(opt.LM_INNER))
+    outer = -(-opt.LM_ITERS // inner)
+
+    def outer_body(_, state):
+        """Full finite-difference Jacobian refresh (3 residual passes) +
+        LM_INNER trial steps on Broyden-updated Jacobians."""
+        x, rho, n, ref_ok, f, lam = state
+        cols = []
+        for i in range(3):
+            rho_i, _, _ = res_vec(x + h[i] * eye3[i])
+            cols.append((rho_i - rho) / h[i])
+        J = jnp.stack(cols)                                  # (3, K)
+        x, rho, n, ref_ok, f, lam, _ = jax.lax.fori_loop(
+            0, inner, inner_body, (x, rho, n, ref_ok, f, lam, J))
         return x, rho, n, ref_ok, f, lam
 
     rho0, n0, r0 = res_vec(x0)
     f0 = mean_or_2(rho0, n0, r0)
     x, _, _, _, f, _ = jax.lax.fori_loop(
-        0, opt.LM_ITERS, body,
+        0, outer, outer_body,
         (x0, rho0, n0, r0, f0, jnp.asarray(opt.LM_LAMBDA0)))
 
     # setCenterNorm(x) write-back (PatchOptimizer.cpp:401-414)
@@ -649,27 +964,66 @@ def _use_pallas_gn(opt: Options) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _use_batched_stages(opt: Options) -> bool:
+    # the batched post pipeline implements the FAST_SETREF formulation only
+    return (opt.USE_BATCHED_STAGES and opt.USE_WINDOWS and opt.FAST_SETREF)
+
+
 def _optimize_all(ctx, opt: Options, center, normal, scale, views):
-    """Batched runOptimization over B patches: the vmapped stage pipeline
-    around either the fused Pallas Gauss-Newton kernel (ops/pallas_gn.py, TPU)
-    or the vmapped XLA refiner. Returns the optimize_batch tuple."""
-    if not _use_pallas_gn(opt):
-        run = functools.partial(_run_one, ctx, opt)
-        return jax.vmap(run)(center, normal, scale, views)
+    """Batched runOptimization over B patches: the batched stage pipeline
+    (scoring-kernel sampling on TPU) around either the fused Pallas
+    Gauss-Newton kernel (ops/pallas_gn.py, TPU) or the vmapped XLA refiner.
+    Returns the optimize_batch tuple."""
+    if not _use_batched_stages(opt):
+        if not _use_pallas_gn(opt):
+            run = functools.partial(_run_one, ctx, opt)
+            return jax.vmap(run)(center, normal, scale, views)
 
+        from hpmvs_tpu.ops import pallas_gn
+
+        pre = functools.partial(_run_pre, ctx, opt)
+        center, normal, views, ok, ws = jax.vmap(pre)(center, normal, scale,
+                                                      views)
+        new_center, new_normal, ok3, resid = pallas_gn.gn_refine_batch(
+            ctx, opt, center, normal, scale, views, ws)
+        ok &= ok3
+        center = jnp.where(ok[:, None], new_center, center)
+        normal = jnp.where(ok[:, None], sampling.normalize3(new_normal),
+                           normal)
+        post = functools.partial(_run_post, ctx, opt)
+        out = jax.vmap(post)(center, normal, scale, views, ok)
+        return out + (resid,)
+
+    # pad the batch once to the kernel lane width; all downstream stages and
+    # kernels then run without internal padding
     from hpmvs_tpu.ops import pallas_gn
+    B = center.shape[0]
+    pad = (-B) % pallas_gn.NB if jax.default_backend() == "tpu" else 0
+    if pad:
+        padf = lambda a, fill: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], 0)
+        center = padf(center, 0.0)
+        normal = padf(jnp.asarray(normal, jnp.float32), 0.0)
+        scale = padf(scale, 1.0)
+        views = padf(views, INVALID)
 
-    pre = functools.partial(_run_pre, ctx, opt)
-    center, normal, views, ok, ws = jax.vmap(pre)(center, normal, scale,
-                                                  views)
-    new_center, new_normal, ok3, resid = pallas_gn.gn_refine_batch(
-        ctx, opt, center, normal, scale, views, ws)
+    center, normal, views, ok, ws = _run_pre_b(ctx, opt, center, normal,
+                                               scale, views)
+    if _use_pallas_gn(opt):
+        new_center, new_normal, ok3, resid = pallas_gn.gn_refine_batch(
+            ctx, opt, center, normal, scale, views, ws)
+    else:
+        refine = functools.partial(_optimize_patch, ctx, opt)
+        new_center, new_normal, ok3, resid = jax.vmap(refine)(
+            center, normal, scale, views, win_ops.to_window_state(ws))
     ok &= ok3
     center = jnp.where(ok[:, None], new_center, center)
     normal = jnp.where(ok[:, None], sampling.normalize3(new_normal), normal)
-    post = functools.partial(_run_post, ctx, opt)
-    out = jax.vmap(post)(center, normal, scale, views, ok)
-    return out + (resid,)
+    out = _run_post_b(ctx, opt, center, normal, scale, views, ok, ws_pre=ws)
+    out = out + (resid,)
+    if pad:
+        out = tuple(a[:B] for a in out)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))

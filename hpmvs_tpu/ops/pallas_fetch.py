@@ -28,8 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 _T = 8  # windows per grid step (amortizes grid/pipeline overhead)
 
 
-def _kernel(rows_ref, blk_ref, off_ref, tex_ref, out_ref, slab, sems, *,
-            W: int, n_steps: int):
+def _kernel(rows_ref, blk_ref, off_ref, mask_ref, tex_ref, out_ref, slab,
+            sems, *, W: int, n_steps: int):
     i = pl.program_id(0)
 
     def dma(step, j):
@@ -43,7 +43,9 @@ def _kernel(rows_ref, blk_ref, off_ref, tex_ref, out_ref, slab, sems, *,
 
     def start_step(step):
         for j in range(_T):
-            dma(step, j).start()
+            @pl.when(mask_ref[step * _T + j] != 0)
+            def _():
+                dma(step, j).start()
 
     @pl.when(i == 0)
     def _():
@@ -55,29 +57,45 @@ def _kernel(rows_ref, blk_ref, off_ref, tex_ref, out_ref, slab, sems, *,
 
     slot = jax.lax.rem(i, 2)
     for j in range(_T):
-        dma(i, j).wait()
-        flat = jnp.concatenate([slab[slot, j, :, 0, :],
-                                slab[slot, j, :, 1, :]], axis=-1)  # (W, 256)
-        rolled = pltpu.roll(flat, -off_ref[i * _T + j], 1)
-        out_ref[j] = rolled[:, :128]
+        fetched = mask_ref[i * _T + j] != 0
+
+        @pl.when(fetched)
+        def _():
+            dma(i, j).wait()
+            flat = jnp.concatenate([slab[slot, j, :, 0, :],
+                                    slab[slot, j, :, 1, :]],
+                                   axis=-1)                    # (W, 256)
+            rolled = pltpu.roll(flat, -off_ref[i * _T + j], 1)
+            out_ref[j] = rolled[:, :128]
+
+        @pl.when(jnp.logical_not(fetched))
+        def _():
+            out_ref[j] = jnp.zeros_like(out_ref[j])
 
 
 @functools.partial(jax.jit, static_argnames=("W",))
 def fetch_windows_dma(texb: jnp.ndarray, rows: jnp.ndarray,
                       blk0: jnp.ndarray, off: jnp.ndarray,
-                      W: int) -> jnp.ndarray:
+                      W: int, mask: jnp.ndarray = None) -> jnp.ndarray:
     """texb: (R, nblk, 128) f32; rows/blk0/off: (N,) int32 -- window top row,
     starting 128-float block, in-block float offset of the window's first
-    pixel. Returns (N, W, 128) with floats [0:3W] = the interleaved window."""
+    pixel. mask: optional (N,) int32/bool; windows with mask == 0 skip their
+    DMA and come back zero (the selective post-stage re-fetch).
+    Returns (N, W, 128) with floats [0:3W] = the interleaved window."""
     n = rows.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), jnp.int32)
+    else:
+        mask = mask.astype(jnp.int32)
     pad = (-n) % _T
     if pad:
         rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
         blk0 = jnp.concatenate([blk0, jnp.zeros((pad,), blk0.dtype)])
         off = jnp.concatenate([off, jnp.zeros((pad,), off.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
     n_steps = (n + pad) // _T
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((_T, W, 128), lambda i, *_: (i, 0, 0),
@@ -92,5 +110,5 @@ def fetch_windows_dma(texb: jnp.ndarray, rows: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n + pad, W, 128), texb.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rows, blk0, off, texb)
+    )(rows, blk0, off, mask, texb)
     return out[:n]

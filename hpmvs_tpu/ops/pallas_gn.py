@@ -57,6 +57,7 @@ class GNStatics(NamedTuple):
     W: int
     K: int
     iters: int
+    inner: int
     angle_scale: float
     cos_max: float
     min_images: int
@@ -264,20 +265,10 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
     lo = jnp.where(is_depth, -BIG, -b)
     hi = jnp.where(is_depth, BIG, b)
 
-    def iter_body(_, carry):
-        x, rho, n, ref_ok, f, lam = carry
-
-        irow = jax.lax.broadcasted_iota(jnp.int32, (3, 1, 1), 0)
-
-        def fd_body(i, cols):
-            hi_ = jnp.sum(jnp.where(i3 == i, h, 0.0), axis=0, keepdims=True)
-            xp = x + jnp.where(i3 == i, 1.0, 0.0) * hi_
-            rho_i, _, _ = sample_pass(xp)
-            col = (rho_i - rho) / hi_                       # (K, NB)
-            return jnp.where(irow == i, col[None], cols)
-
-        cols = jax.lax.fori_loop(0, 3, fd_body,
-                                 jnp.zeros((3, K, NB), f32))
+    def inner_body(_, carry):
+        """One damped-Newton trial (1 sampling pass) on the current Jacobian
+        + Broyden rank-1 secant update."""
+        x, rho, n, ref_ok, f, lam, cols = carry
         nf = jnp.maximum(n, 1.0)
         wgt = 0.5 / (rho + GN_EPS)                          # (K, NB)
         g = [jnp.sum(cols[i], axis=0, keepdims=True) / nf for i in range(3)]
@@ -308,6 +299,17 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
         x_new = jnp.clip(x + step, lo, hi)
 
         rho_t, n_t, ref_t = sample_pass(x_new)
+        # Broyden rank-1 secant update (applied whether or not we accept):
+        # cols[i] += dx_i * (rho_t - rho - sum_j cols[j] dx_j) / |dx|^2
+        dx = x_new - x                                       # (3, NB)
+        dd = jnp.sum(dx * dx, axis=0, keepdims=True)         # (1, NB)
+        pred = (cols[0] * dx[0:1] + cols[1] * dx[1:2]
+                + cols[2] * dx[2:3])                         # (K, NB)
+        resb = (rho_t - rho - pred) / jnp.maximum(dd, 1e-20)
+        okd = dd > 1e-20
+        cols = jnp.stack([
+            jnp.where(okd, cols[i] + dx[i:i + 1] * resb, cols[i])
+            for i in range(3)])
         f_new = mean_or_2(rho_t, n_t, ref_t)
         acc = f_new < f                                     # (1, NB)
         x = jnp.where(acc, x_new, x)
@@ -316,10 +318,31 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
         ref_ok = jnp.where(acc, ref_t, ref_ok)
         f = jnp.where(acc, f_new, f)
         lam = jnp.clip(jnp.where(acc, lam * 0.5, lam * 4.0), 1e-7, 1e7)
+        return x, rho, n, ref_ok, f, lam, cols
+
+    irow = jax.lax.broadcasted_iota(jnp.int32, (3, 1, 1), 0)
+
+    def outer_body(_, carry):
+        """Full finite-difference Jacobian refresh (3 sampling passes) +
+        st.inner Broyden trial steps."""
+        x, rho, n, ref_ok, f, lam = carry
+
+        def fd_body(i, cols):
+            hi_ = jnp.sum(jnp.where(i3 == i, h, 0.0), axis=0, keepdims=True)
+            xp = x + jnp.where(i3 == i, 1.0, 0.0) * hi_
+            rho_i, _, _ = sample_pass(xp)
+            col = (rho_i - rho) / hi_                       # (K, NB)
+            return jnp.where(irow == i, col[None], cols)
+
+        cols = jax.lax.fori_loop(0, 3, fd_body,
+                                 jnp.zeros((3, K, NB), f32))
+        x, rho, n, ref_ok, f, lam, _ = jax.lax.fori_loop(
+            0, st.inner, inner_body, (x, rho, n, ref_ok, f, lam, cols))
         return x, rho, n, ref_ok, f, lam
 
+    outer = -(-st.iters // st.inner)
     x, rho, n, ref_ok, f, lam = jax.lax.fori_loop(
-        0, st.iters, iter_body, (x, rho, n, ref_ok, f, lam))
+        0, outer, outer_body, (x, rho, n, ref_ok, f, lam))
     xout_ref[:] = x
     fout_ref[:] = f
 
@@ -367,11 +390,19 @@ def _prep(ctx, opt: Options, center, normal, scale, views, ws):
     only the first K = min(K', MAX_IMAGES_PER_PATCH) slots enter the kernel.
     """
     from hpmvs_tpu.ops import optimizer as popt
+    from hpmvs_tpu.ops import windows as win_ops
 
     B = center.shape[0]
     K = min(views.shape[1], opt.MAX_IMAGES_PER_PATCH)
     views_k = views[:, :K]
-    win = ws.win[:, :K]
+    if isinstance(ws, win_ops.WinTState):
+        W = ws.W
+        # kernel layout already: slice the first K view slots (free)
+        winT_pre = (ws.winT.reshape(ws.K, W * 3 * W, B)[:K]
+                    .reshape(K * W * 3, W, B).astype(jnp.bfloat16))
+    else:
+        winT_pre = None
+        win = ws.win[:, :K]
     level = ws.level[:, :K]
     ox = ws.ox[:, :K]
     oy = ws.oy[:, :K]
@@ -404,7 +435,12 @@ def _prep(ctx, opt: Options, center, normal, scale, views, ws):
 
     refT = jnp.stack([ref_center, ref_ray, ax_x, ax_y, ax_z], 0)  # (5,B,3)
 
-    W = win.shape[-2]
+    if winT_pre is None:
+        W = win.shape[-2]
+        winT_pre = (jnp.transpose(win, (1, 3, 4, 2, 0))
+                    .reshape(K * W * 3, W, B).astype(jnp.bfloat16))
+    else:
+        W = ws.W
     args = dict(
         x0T=x0.T,
         hT=h.T,
@@ -417,12 +453,12 @@ def _prep(ctx, opt: Options, center, normal, scale, views, ws):
         limT=jnp.transpose(lim, (1, 2, 0)),
         orgT=jnp.transpose(org, (1, 2, 0)),
         maskT=jnp.transpose(mask, (1, 0))[:, None, :],       # (K, 1, B)
-        # (B, K, y, x, c) -> (K, x, c, y, B) -> (K*W*3, W, B) bf16
-        winT=jnp.transpose(win, (1, 3, 4, 2, 0)).reshape(K * W * 3, W, B)
-        .astype(jnp.bfloat16),
+        # (K*W*3, W, B) bf16 window slabs
+        winT=winT_pre,
     )
     import math
     st = GNStatics(W=W, K=K, iters=opt.LM_ITERS,
+                   inner=max(1, int(opt.LM_INNER)),
                    angle_scale=float(opt.ANGLE_SCALE),
                    cos_max=float(math.cos(opt.MAX_ANGLE)),
                    min_images=int(opt.MIN_IMAGES_PER_PATCH),
@@ -438,9 +474,13 @@ def gn_refine_batch(ctx, opt: Options, center, normal, scale, views, ws,
 
     Returns (new_center (B,3), new_normal (B,3), ok (B,), f (B,)).
     """
+    from hpmvs_tpu.ops import windows as win_ops
+
     B = center.shape[0]
     pad = (-B) % NB
     if pad:
+        assert not isinstance(ws, win_ops.WinTState), \
+            "WinTState callers must pad the batch to the lane width upstream"
         padf = lambda a: jnp.concatenate(
             [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
         center = padf(center)

@@ -125,7 +125,7 @@ def _geometry(ctx, opt: Options, center, normal, scale, views, ws):
     bounds_ok = ((mn[..., 0] >= m) & (mn[..., 1] >= m)
                  & (mx[..., 0] < w - m) & (mx[..., 1] < h - m))
 
-    W = ws.win.shape[-2]
+    W = _win_width(ws)
     org = jnp.stack([ws.ox, ws.oy], axis=-1).astype(c2.dtype)
     cover_ok = (jnp.all(mn - org >= 0.0, axis=-1)
                 & jnp.all(mx - org <= W - 1.0, axis=-1))
@@ -135,22 +135,27 @@ def _geometry(ctx, opt: Options, center, normal, scale, views, ws):
     return tl_local, dx, dy, valid
 
 
+def _win_width(ws) -> int:
+    return ws.W if isinstance(ws, win_ops.WinTState) else ws.win.shape[-2]
+
+
 def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
                        use_kernel=None, interpret=False):
     """Batched texture sampling of every view slot from cached windows.
 
-    center (B,3), normal (B,3), scale (B,), views (B,K), ws over (B,K) slots.
+    center (B,3), normal (B,3), scale (B,), views (B,K), ws over (B,K) slots
+    (WinTState kernel layout, or legacy WindowState for the fallback).
     Returns (tex (B,K,49,3) normalized f32, valid (B,K) bool; valid does NOT
     include views >= 0 -- same contract as windows.sample_from_windows).
 
     use_kernel None: kernel on TPU, XLA fallback elsewhere. The fallback is
-    the same math through windows.hat_sample (f32 windows; the kernel reads
-    windows as bf16 -- exact for level-0 pixels)."""
+    the same math through windows.hat_sample."""
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
 
     tl, dx, dy, valid = _geometry(ctx, opt, center, normal, scale, views, ws)
-    W = ws.win.shape[-2]
+    W = _win_width(ws)
+    B, K = views.shape
 
     if not (use_kernel or interpret):
         grid = sampling_grid()                           # (49, 2)
@@ -160,27 +165,95 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
               + grid[:, 1] * dy[..., None, 1])
         gx = jnp.clip(gx, 0.0, W - 1.0)
         gy = jnp.clip(gy, 0.0, W - 1.0)
-        tex = win_ops.hat_sample(ws.win, gx, gy)
+        win5 = (ws.to_win5() if isinstance(ws, win_ops.WinTState)
+                else ws.win)
+        tex = win_ops.hat_sample(win5, gx, gy)
         return sampling.normalize_tex(tex), valid
 
-    B, K = views.shape
     geom = jnp.concatenate([tl, dx, dy], axis=-1)        # (B, K, 6)
     pad = (-B) % NB
     if pad:
         geom = jnp.concatenate(
             [geom, jnp.zeros((pad, K, 6), geom.dtype)], 0)
-        win = jnp.concatenate(
-            [ws.win, jnp.zeros((pad,) + ws.win.shape[1:], ws.win.dtype)], 0)
+    if isinstance(ws, win_ops.WinTState):
+        assert pad == 0, "batched kernel pipeline requires B % 128 == 0"
+        winT = ws.winT.astype(jnp.bfloat16)
     else:
         win = ws.win
+        if pad:
+            win = jnp.concatenate(
+                [win, jnp.zeros((pad,) + win.shape[1:], win.dtype)], 0)
+        winT = (jnp.transpose(win, (1, 3, 4, 2, 0))
+                .reshape(K * W * 3, W, B + pad).astype(jnp.bfloat16))
     geomT = jnp.transpose(geom, (1, 2, 0))               # (K, 6, B)
-    winT = (jnp.transpose(win, (1, 3, 4, 2, 0))
-            .reshape(K * W * 3, W, B + pad).astype(jnp.bfloat16))
     texT = _sample_pallas(geomT, winT, W, K, interpret=interpret)
     tex = jnp.transpose(texT.reshape(K, 3, P2, B + pad), (3, 0, 2, 1))
     if pad:
         tex = tex[:B]
     return tex, valid
+
+
+# ---------------------------------------------------------------------------
+# Slot permutation of the kernel-layout window cache.
+# ---------------------------------------------------------------------------
+
+def _permute_kernel(ordT_ref, win_ref, out_ref, *, K: int):
+    """out[k] = win[order[k]] per patch lane, as a one-hot combine (the
+    XLA gather for this permutation moves 3 KB slices -- ~11 ms at B=2048;
+    this kernel streams the slabs once)."""
+    for k in range(K):
+        sel = ordT_ref[k]                        # (1, NB) int32
+        acc = None
+        for j in range(K):
+            m = (sel == j).astype(win_ref.dtype)  # (1, NB)
+            t = win_ref[j] * m[None]              # (W3, W, NB)
+            acc = t if acc is None else acc + t
+        out_ref[k] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _permute_pallas(ordT, win4, interpret=False):
+    """ordT (K, 1, B) int32; win4 (K, W*3, W, B) -> permuted win4."""
+    K, W3, W, Bt = win4.shape
+    assert Bt % NB == 0
+    grid = (Bt // NB,)
+
+    def spec(sh):
+        lead = sh[:-1]
+        zeros = (0,) * len(lead)
+        return pl.BlockSpec(lead + (NB,), (lambda i, z=zeros: z + (i,)),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_permute_kernel, K=K),
+        out_shape=jax.ShapeDtypeStruct(win4.shape, win4.dtype),
+        grid=grid,
+        in_specs=[spec(ordT.shape), spec(win4.shape)],
+        out_specs=spec(win4.shape),
+        interpret=interpret,
+    )(ordT, win4)
+
+
+def permute_wst(ws, order, use_kernel=None, interpret=False):
+    """Batched view-slot permutation of a WinTState. order: (B, K) int32,
+    new slot k holds old slot order[b, k]."""
+    if ws is None:
+        return None
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    K, W = ws.K, ws.W
+    win4 = ws.winT.reshape(K, W * 3, W, -1)
+    if use_kernel or interpret:
+        ordT = jnp.transpose(order, (1, 0))[:, None, :]  # (K, 1, B)
+        new4 = _permute_pallas(ordT, win4, interpret=interpret)
+    else:
+        idx = jnp.transpose(order, (1, 0))[:, None, None, :]
+        new4 = jnp.take_along_axis(win4, idx, axis=0)
+    return win_ops.WinTState(
+        winT=new4.reshape(ws.winT.shape),
+        ox=jnp.take_along_axis(ws.ox, order, axis=1),
+        oy=jnp.take_along_axis(ws.oy, order, axis=1),
+        level=jnp.take_along_axis(ws.level, order, axis=1))
 
 
 def sampling_grid():

@@ -40,13 +40,79 @@ class WindowState(NamedTuple):
     level: jnp.ndarray  # (...,) int32 pyramid level the window was cut at
 
 
+class WinTState(NamedTuple):
+    """Kernel-layout window cache for the batched pipeline: patches are the
+    minor (lane) axis, so the pallas kernels (ops/pallas_gn.py,
+    ops/pallas_score.py) read window slabs without any per-call transpose.
+    Slab k*W*3 + x*3 + c is the (W_y, B) tile of view-slot k, column x,
+    channel c."""
+    winT: jnp.ndarray   # (K*W*3, W, B) bf16 (f32 on CPU) window slabs
+    ox: jnp.ndarray     # (B, K) int32 window origin x (global, at `level`)
+    oy: jnp.ndarray     # (B, K) int32
+    level: jnp.ndarray  # (B, K) int32
+
+    @property
+    def W(self) -> int:
+        return self.winT.shape[1]
+
+    @property
+    def K(self) -> int:
+        return self.winT.shape[0] // (3 * self.W)
+
+    def to_win5(self) -> jnp.ndarray:
+        """(B, K, W, W, 3) float32 view for the XLA fallback paths."""
+        K, W = self.K, self.W
+        w4 = self.winT.reshape(K, W, 3, W, -1).astype(jnp.float32)
+        return jnp.transpose(w4, (4, 0, 3, 1, 2))
+
+
+def to_window_state(ws: WinTState) -> WindowState:
+    """WinTState -> per-patch WindowState (for the vmapped fallback paths)."""
+    return WindowState(win=ws.to_win5(), ox=ws.ox, oy=ws.oy, level=ws.level)
+
+
+def fetch_windows_t(cams, imgs, ci, center, scale, maxlevel: int,
+                    W: int, fetch_mask=None, prev: WinTState = None
+                    ) -> WinTState:
+    """fetch_windows + one transpose into the kernel layout (done once per
+    fetch; every downstream kernel then reads windows without moving them).
+
+    ci: (B, K) int32; center: (B, K, 3); scale: (B, K). B must be a multiple
+    of the kernel lane width on TPU (the batched pipeline pads upstream).
+
+    fetch_mask (B, K) bool + prev: selective re-fetch -- slots with
+    fetch_mask False skip their DMA and keep `prev`'s window/origin/level
+    (the post-stage reuses the pre-stage windows of surviving view slots;
+    only newly added views touch HBM). Validity of a stale reused window is
+    enforced downstream by the level/coverage gates (pallas_score._geometry,
+    windows.sample_from_windows)."""
+    ws = fetch_windows(cams, imgs, ci, center, scale, maxlevel, W,
+                       fetch_mask=fetch_mask)
+    B, K = ci.shape
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    # (B, K, y, x, c) -> (K, x, c, y, B), minor-to-major move done once
+    winT = (jnp.transpose(ws.win.astype(dt), (1, 3, 4, 2, 0))
+            .reshape(K * W * 3, W, B))
+    out = WinTState(winT=winT, ox=ws.ox, oy=ws.oy, level=ws.level)
+    if prev is None:
+        return out
+    mT = jnp.repeat(jnp.transpose(fetch_mask, (1, 0)), W * 3, 0)[:, None, :]
+    return WinTState(
+        winT=jnp.where(mT, out.winT, prev.winT),
+        ox=jnp.where(fetch_mask, out.ox, prev.ox),
+        oy=jnp.where(fetch_mask, out.oy, prev.oy),
+        level=jnp.where(fetch_mask, out.level, prev.level))
+
+
 def fetch_windows(cams, imgs, ci, center, scale, maxlevel: int,
-                  W: int, use_dma=None) -> WindowState:
+                  W: int, use_dma=None, fetch_mask=None) -> WindowState:
     """Cut a W x W window around the projected patch center in each view.
 
     ci: (...,) int32; center: (..., 3); scale: (...,). On TPU the fetch runs
     through the pallas DMA kernel (ops/pallas_fetch.py); elsewhere it falls
-    back to a vmapped dynamic_slice gather."""
+    back to a vmapped dynamic_slice gather. Slots with fetch_mask False come
+    back zero on the DMA path (the fallback fetches everything; callers
+    overwrite masked slots either way)."""
     level = cam_ops.get_leveli(cams, ci, center, scale, maxlevel)
     uvw = cam_ops.project(cams, ci, center, level)
     w = imgs.width[ci, level]
@@ -68,7 +134,9 @@ def fetch_windows(cams, imgs, ci, center, scale, maxlevel: int,
         fcol = flat_c * 3
         blk0 = fcol // 128
         off = fcol - blk0 * 128
-        winf = pallas_fetch.fetch_windows_dma(imgs.texb, flat_r, blk0, off, W)
+        winf = pallas_fetch.fetch_windows_dma(
+            imgs.texb, flat_r, blk0, off, W,
+            mask=None if fetch_mask is None else fetch_mask.reshape(-1))
         win = winf[:, :, :3 * W].reshape(shape + (W, W, 3))
     else:
         def cut(r, c):

@@ -22,6 +22,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop compiled executables between test modules.
+
+    The suite compiles dozens of large CPU programs (wavefront engine,
+    batched optimizer, pallas-interpret kernels); keeping them all loaded
+    eventually aborts the process inside XLA:CPU's JIT (observed as a fatal
+    abort/segfault in backend_compile after ~50 tests). Scenes differ per
+    module anyway, so cross-module cache hits are rare."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def plane_scene():
     from hpmvs_tpu.testing import make_plane_scene
