@@ -93,6 +93,12 @@ class Options:
                                # refreshes the Jacobian follows Broyden rank-1
                                # secant updates (1 sampling pass per trial)
     LM_LAMBDA0: float = 1e-2   # initial Levenberg damping
+    LM_H_SHRINK: float = 0.5   # FD step decay per Jacobian-refresh round
+                               # (contracting trust region; 1.0 = fixed h)
+    LM_FTOL: float = 1e-4      # early-exit: stop refresh rounds once no lane
+                               # in the kernel block improves f by more than
+                               # this (batched analog of BOBYQA xtol_rel,
+                               # PatchOptimizer.cpp:352)
     BATCH: int = 2048          # wavefront batch bucket size
     DTYPE: str = "float32"
 

@@ -155,7 +155,10 @@ def pack_pyramids(pyramids: Sequence[Sequence[np.ndarray]]) -> ImagePack:
             h, w = im.shape[:2]
             tex[row0[ci, lv]:row0[ci, lv] + h, :w] = im
     # block-interleaved copy for the DMA fetch kernel (+1 spare block so a
-    # 2-block slab starting at the last real block stays in bounds)
+    # 2-block slab starting at the last real block stays in bounds).
+    # (f32, not bf16: Mosaic requires DMA slices of packed-dtype memrefs to
+    # be tile-aligned on the block dim, and the window fetch is DMA-issue
+    # latency-bound, not bandwidth-bound -- measured no win from fewer bytes)
     nblk = -(-(wmax * 3) // 128) + 1
     texb = np.zeros((pos, nblk * 128), dtype=np.float32)
     texb[:, :wmax * 3] = tex.reshape(pos, wmax * 3)

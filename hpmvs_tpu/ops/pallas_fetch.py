@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_T = 8  # windows per grid step (amortizes grid/pipeline overhead)
+_T = 32  # windows per grid step (amortizes grid/pipeline overhead)
 
 
 def _kernel(rows_ref, blk_ref, off_ref, mask_ref, tex_ref, out_ref, slab,
@@ -101,7 +101,7 @@ def fetch_windows_dma(texb: jnp.ndarray, rows: jnp.ndarray,
         out_specs=pl.BlockSpec((_T, W, 128), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _T, W, 2, 128), jnp.float32),
+            pltpu.VMEM((2, _T, W, 2, 128), texb.dtype),
             pltpu.SemaphoreType.DMA((2, _T)),
         ],
     )

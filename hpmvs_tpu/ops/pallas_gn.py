@@ -63,6 +63,8 @@ class GNStatics(NamedTuple):
     min_images: int
     angle_bound: float
     lam0: float
+    ftol: float
+    h_shrink: float
 
 
 def _rows(v):
@@ -321,14 +323,25 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
         return x, rho, n, ref_ok, f, lam, cols
 
     irow = jax.lax.broadcasted_iota(jnp.int32, (3, 1, 1), 0)
+    outer = -(-st.iters // st.inner)
 
-    def outer_body(_, carry):
+    def outer_cond(carry):
+        """Run refresh rounds until the whole block stops improving (the
+        batched analog of BOBYQA's xtol_rel stop, PatchOptimizer.cpp:352)."""
+        i, go, *_ = carry
+        return jnp.logical_and(i < outer, go)
+
+    def outer_body(carry):
         """Full finite-difference Jacobian refresh (3 sampling passes) +
-        st.inner Broyden trial steps."""
-        x, rho, n, ref_ok, f, lam = carry
+        st.inner Broyden trial steps. The FD step shrinks every round (the
+        batched analog of BOBYQA's contracting trust region): a fixed h
+        cannot resolve curvature below h and stalls tail convergence."""
+        i, _, hs, x, rho, n, ref_ok, f, lam = carry
+        f_before = f
+        hr = h * hs
 
         def fd_body(i, cols):
-            hi_ = jnp.sum(jnp.where(i3 == i, h, 0.0), axis=0, keepdims=True)
+            hi_ = jnp.sum(jnp.where(i3 == i, hr, 0.0), axis=0, keepdims=True)
             xp = x + jnp.where(i3 == i, 1.0, 0.0) * hi_
             rho_i, _, _ = sample_pass(xp)
             col = (rho_i - rho) / hi_                       # (K, NB)
@@ -338,11 +351,14 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
                                  jnp.zeros((3, K, NB), f32))
         x, rho, n, ref_ok, f, lam, _ = jax.lax.fori_loop(
             0, st.inner, inner_body, (x, rho, n, ref_ok, f, lam, cols))
-        return x, rho, n, ref_ok, f, lam
+        # accepted steps only lower f; the round helped if ANY lane moved
+        go = jnp.max(f_before - f) > st.ftol
+        return i + 1, go, hs * f32(st.h_shrink), x, rho, n, ref_ok, f, lam
 
-    outer = -(-st.iters // st.inner)
-    x, rho, n, ref_ok, f, lam = jax.lax.fori_loop(
-        0, outer, outer_body, (x, rho, n, ref_ok, f, lam))
+    _, _, _, x, rho, n, ref_ok, f, lam = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), jnp.bool_(True), f32(1.0), x, rho, n, ref_ok, f,
+         lam))
     xout_ref[:] = x
     fout_ref[:] = f
 
@@ -463,7 +479,9 @@ def _prep(ctx, opt: Options, center, normal, scale, views, ws):
                    cos_max=float(math.cos(opt.MAX_ANGLE)),
                    min_images=int(opt.MIN_IMAGES_PER_PATCH),
                    angle_bound=float(opt.ANGLE_BOUND),
-                   lam0=float(opt.LM_LAMBDA0))
+                   lam0=float(opt.LM_LAMBDA0),
+                   ftol=float(opt.LM_FTOL),
+                   h_shrink=float(opt.LM_H_SHRINK))
     extra = (ref_center, ref_ray, ax_x, ax_y, ax_z)
     return st, args, extra
 
