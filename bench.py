@@ -49,7 +49,7 @@ def main():
     out = popt.optimize_batch(scene.ctx, opt, *args)
     out[0].block_until_ready()
 
-    iters = 5
+    iters = 20
     t0 = time.time()
     for _ in range(iters):
         out = popt.optimize_batch(scene.ctx, opt, *args)

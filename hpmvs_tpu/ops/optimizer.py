@@ -361,14 +361,20 @@ def _add_images_b(ctx, opt: Options, center, normal, scale, views):
     return new_views, ok
 
 
-def _sample_views_b(ctx, opt: Options, center, normal, scale, views, ws):
+def _sample_views_b(ctx, opt: Options, center, normal, scale, views, ws,
+                    with_color=False):
     """Batched _sample_views through the scoring kernel (TPU) / XLA fallback.
     z axis = normalize(normal), tangent frame from slot 0 -- the _set_inccs
     convention (PatchOptimizer.cpp:448-474). Returns (tex (B,K,49,3),
-    valid (B,K) incl. views >= 0)."""
+    valid (B,K) incl. views >= 0[, center RGB (B,K,3) with with_color])."""
     from hpmvs_tpu.ops import pallas_score
-    tex, valid = pallas_score.sample_views_batch(ctx, opt, center, normal,
-                                                 scale, views, ws)
+    out = pallas_score.sample_views_batch(ctx, opt, center, normal,
+                                          scale, views, ws,
+                                          with_color=with_color)
+    if with_color:
+        tex, valid, col = out
+        return tex, valid & (views >= 0), col
+    tex, valid = out
     return tex, valid & (views >= 0)
 
 
@@ -460,10 +466,11 @@ def _assure_angles_b(ctx, opt: Options, center, views):
 
 
 def _get_color_b(ctx, opt: Options, center, scale, views):
-    """Batched Scene::getColor (Scene.cpp:300-327)."""
+    """Batched Scene::getColor (Scene.cpp:300-327); same MAXLEVEL-1 level
+    cap as _get_color."""
     ci = jnp.maximum(views, 0)
     valid = views >= 0
-    nlev = ctx.cams.n_levels - 1
+    nlev = opt.MAXLEVEL - 1
     cb = jnp.broadcast_to(center[:, None], ci.shape + (3,))
     sb = jnp.broadcast_to(scale[:, None], ci.shape)
     lvl = cam_ops.get_leveli(ctx.cams, ci, cb, sb, nlev)
@@ -532,7 +539,8 @@ def _run_post_b(ctx, opt: Options, center, normal, scale, views, ok,
                          nv_old=nv_old)
     else:
         ws = _fetch_ws_b(ctx, opt, views, center, scale)
-    tex, vv = _sample_views_b(ctx, opt, center, normal, scale, views, ws)
+    tex, vv, cols = _sample_views_b(ctx, opt, center, normal, scale, views,
+                                    ws, with_color=True)
     nccs = jnp.einsum("bapc,bkpc->bak", tex, tex) / sampling.N_TEXELS
     pair_ok = vv[:, :, None] & vv[:, None, :]
     eye = jnp.eye(k, dtype=bool)[None]
@@ -581,7 +589,18 @@ def _run_post_b(ctx, opt: Options, center, normal, scale, views, ok,
     order = jnp.where(slot == 0, bi, jnp.where(slot == bi, 0, slot))
     views = _compact(jnp.take_along_axis(views, order, -1),
                      jnp.take_along_axis(keep2, order, -1))
-    color = _get_color_b(ctx, opt, center, scale, views)
+    # Scene::getColor (Scene.cpp:300-327): median-by-norm over the kept views
+    # (order-independent, so evaluated in incoming slot space) using the
+    # center RGB the sampling pass already produced -- no HBM gather.
+    # White-pixel (sky) case: |median| > 250 -> darkest view instead.
+    norms = jnp.where(keep2, jnp.linalg.norm(cols, axis=-1), BIG)
+    corder = jnp.argsort(norms, axis=-1)
+    nkept = jnp.maximum(jnp.sum(keep2, axis=-1), 1)
+    midx = jnp.take_along_axis(corder, (nkept // 2)[:, None], -1)
+    med = jnp.take_along_axis(cols, midx[:, :, None], 1)[:, 0]
+    first = jnp.take_along_axis(cols, corder[:, :1, None], 1)[:, 0]
+    color = jnp.where(
+        jnp.linalg.norm(med, axis=-1, keepdims=True) > 250.0, first, med)
     return center, normal, scale, views, ok, color
 
 
@@ -872,11 +891,14 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
 
 def _get_color(ctx, opt: Options, center, scale, views):
     """Scene::getColor (Scene.cpp:300-327): median-by-norm over views with
-    the white-pixel (sky) special case."""
+    the white-pixel (sky) special case. Level capped at MAXLEVEL-1 (the
+    window-cache cap) rather than the reference's MAXLEVEL, so the gather
+    path and the kernel center-texel path agree exactly -- documented
+    divergence: the very coarsest patches read color one level coarser."""
     k = views.shape[0]
     ci = jnp.maximum(views, 0)
     valid = views >= 0
-    nlev = ctx.cams.n_levels - 1
+    nlev = opt.MAXLEVEL - 1
     lvl = cam_ops.get_leveli(ctx.cams, ci,
                              jnp.broadcast_to(center, ci.shape + (3,)),
                              jnp.broadcast_to(scale, ci.shape), nlev)

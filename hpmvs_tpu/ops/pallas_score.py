@@ -39,7 +39,13 @@ P = sampling.PATCH_SIZE
 P2 = P * P
 
 
-def _kernel(geom_ref, win_ref, out_ref, *, W: int, K: int):
+CHALF = P / 2.0   # the true projected center sits at tl + 3.5*(dx+dy);
+                  # the grid texels are tl + i*(dx,dy), i in [0,7) -- texel
+                  # (3,3) is half a texel off (reference sampleTexture
+                  # convention, PatchOptimizer.cpp:495-523)
+
+
+def _kernel(geom_ref, win_ref, out_ref, col_ref, *, W: int, K: int):
     f32 = jnp.float32
     ii = jax.lax.broadcasted_iota(jnp.int32, (P2, 1), 0)
     IX = jnp.mod(ii, P).astype(f32)       # (49, 1) texel x index
@@ -50,6 +56,13 @@ def _kernel(geom_ref, win_ref, out_ref, *, W: int, K: int):
         gx = jnp.clip(g[0:1] + IX * g[2:3] + IY * g[4:5], 0.0, W - 1.0)
         gy = jnp.clip(g[1:2] + IX * g[3:4] + IY * g[5:6], 0.0, W - 1.0)
         tex = pallas_gn.hat_sample_ch(win_ref, k * (W * 3), gx, gy, W)
+        # bilinear RGB at the exact patch center (Scene::getColor's sample,
+        # Scene.cpp:311-315): one extra 1-point hat sample, ~2% of the pass
+        gxc = jnp.clip(g[0:1] + CHALF * (g[2:3] + g[4:5]), 0.0, W - 1.0)
+        gyc = jnp.clip(g[1:2] + CHALF * (g[3:4] + g[5:6]), 0.0, W - 1.0)
+        col = pallas_gn.hat_sample_ch(win_ref, k * (W * 3), gxc, gyc, W)
+        for c in range(3):
+            col_ref[k * 3 + c] = col[c]
         cen = pallas_gn.normalize_ch(tex, P2)
         for c in range(3):
             out_ref[k * 3 + c] = cen[c]
@@ -71,10 +84,11 @@ def _sample_pallas(geomT, winT, W: int, K: int, interpret=False):
     kern = functools.partial(_kernel, W=W, K=K)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((K * 3, P2, Bt), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((K * 3, P2, Bt), jnp.float32),
+                   jax.ShapeDtypeStruct((K * 3, 1, Bt), jnp.float32)),
         grid=grid,
         in_specs=[spec(geomT.shape), spec(winT.shape)],
-        out_specs=spec((K * 3, P2, Bt)),
+        out_specs=[spec((K * 3, P2, Bt)), spec((K * 3, 1, Bt))],
         interpret=interpret,
     )(geomT, winT)
 
@@ -140,13 +154,18 @@ def _win_width(ws) -> int:
 
 
 def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
-                       use_kernel=None, interpret=False):
+                       use_kernel=None, interpret=False, with_color=False):
     """Batched texture sampling of every view slot from cached windows.
 
     center (B,3), normal (B,3), scale (B,), views (B,K), ws over (B,K) slots
     (WinTState kernel layout, or legacy WindowState for the fallback).
     Returns (tex (B,K,49,3) normalized f32, valid (B,K) bool; valid does NOT
     include views >= 0 -- same contract as windows.sample_from_windows).
+    with_color adds a third output: the raw bilinear RGB at the patch center
+    per view slot, (B, K, 3) -- the same pixel Scene::getColor would fetch
+    (Scene.cpp:311-315), read from the already-sampled texture for free
+    (documented divergence: at the window's level, capped at MAXLEVEL-1,
+    where getColor caps at MAXLEVEL).
 
     use_kernel None: kernel on TPU, XLA fallback elsewhere. The fallback is
     the same math through windows.hat_sample."""
@@ -168,6 +187,13 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
         win5 = (ws.to_win5() if isinstance(ws, win_ops.WinTState)
                 else ws.win)
         tex = win_ops.hat_sample(win5, gx, gy)
+        if with_color:
+            gxc = jnp.clip(tl[..., 0] + CHALF * (dx[..., 0] + dy[..., 0]),
+                           0.0, W - 1.0)[..., None]
+            gyc = jnp.clip(tl[..., 1] + CHALF * (dx[..., 1] + dy[..., 1]),
+                           0.0, W - 1.0)[..., None]
+            col = win_ops.hat_sample(win5, gxc, gyc)[..., 0, :]
+            return sampling.normalize_tex(tex), valid, col
         return sampling.normalize_tex(tex), valid
 
     geom = jnp.concatenate([tl, dx, dy], axis=-1)        # (B, K, 6)
@@ -186,10 +212,15 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
         winT = (jnp.transpose(win, (1, 3, 4, 2, 0))
                 .reshape(K * W * 3, W, B + pad).astype(jnp.bfloat16))
     geomT = jnp.transpose(geom, (1, 2, 0))               # (K, 6, B)
-    texT = _sample_pallas(geomT, winT, W, K, interpret=interpret)
+    texT, colT = _sample_pallas(geomT, winT, W, K, interpret=interpret)
     tex = jnp.transpose(texT.reshape(K, 3, P2, B + pad), (3, 0, 2, 1))
     if pad:
         tex = tex[:B]
+    if with_color:
+        col = jnp.transpose(colT.reshape(K, 3, B + pad), (2, 0, 1))
+        if pad:
+            col = col[:B]
+        return tex, valid, col
     return tex, valid
 
 
@@ -200,21 +231,23 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
 def _permute_kernel(ordT_ref, win_ref, out_ref, *, K: int):
     """out[k] = win[order[k]] per patch lane, as a one-hot combine (the
     XLA gather for this permutation moves 3 KB slices -- ~11 ms at B=2048;
-    this kernel streams the slabs once)."""
+    this kernel streams the slabs once). Window planes are flattened to one
+    (W*3*W, NB) tile per view slot: big contiguous vector ops instead of
+    W3 x (12, 128) bf16 tiles whose sublanes pad 12 -> 16."""
     for k in range(K):
         sel = ordT_ref[k]                        # (1, NB) int32
         acc = None
         for j in range(K):
             m = (sel == j).astype(win_ref.dtype)  # (1, NB)
-            t = win_ref[j] * m[None]              # (W3, W, NB)
+            t = win_ref[j] * m                    # (W3W, NB)
             acc = t if acc is None else acc + t
         out_ref[k] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _permute_pallas(ordT, win4, interpret=False):
-    """ordT (K, 1, B) int32; win4 (K, W*3, W, B) -> permuted win4."""
-    K, W3, W, Bt = win4.shape
+def _permute_pallas(ordT, win3, interpret=False):
+    """ordT (K, 1, B) int32; win3 (K, W*3*W, B) -> permuted win3."""
+    K, W3W, Bt = win3.shape
     assert Bt % NB == 0
     grid = (Bt // NB,)
 
@@ -226,12 +259,12 @@ def _permute_pallas(ordT, win4, interpret=False):
 
     return pl.pallas_call(
         functools.partial(_permute_kernel, K=K),
-        out_shape=jax.ShapeDtypeStruct(win4.shape, win4.dtype),
+        out_shape=jax.ShapeDtypeStruct(win3.shape, win3.dtype),
         grid=grid,
-        in_specs=[spec(ordT.shape), spec(win4.shape)],
-        out_specs=spec(win4.shape),
+        in_specs=[spec(ordT.shape), spec(win3.shape)],
+        out_specs=spec(win3.shape),
         interpret=interpret,
-    )(ordT, win4)
+    )(ordT, win3)
 
 
 def permute_wst(ws, order, use_kernel=None, interpret=False):
@@ -242,15 +275,18 @@ def permute_wst(ws, order, use_kernel=None, interpret=False):
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     K, W = ws.K, ws.W
-    win4 = ws.winT.reshape(K, W * 3, W, -1)
     if use_kernel or interpret:
+        # (K*W3, W, B) -> (K, W3*W, B) is a free row-major regroup
+        win3 = ws.winT.reshape(K, W * 3 * W, -1)
         ordT = jnp.transpose(order, (1, 0))[:, None, :]  # (K, 1, B)
-        new4 = _permute_pallas(ordT, win4, interpret=interpret)
+        new3 = _permute_pallas(ordT, win3, interpret=interpret)
+        winT = new3.reshape(ws.winT.shape)
     else:
+        win4 = ws.winT.reshape(K, W * 3, W, -1)
         idx = jnp.transpose(order, (1, 0))[:, None, None, :]
-        new4 = jnp.take_along_axis(win4, idx, axis=0)
+        winT = jnp.take_along_axis(win4, idx, axis=0).reshape(ws.winT.shape)
     return win_ops.WinTState(
-        winT=new4.reshape(ws.winT.shape),
+        winT=winT,
         ox=jnp.take_along_axis(ws.ox, order, axis=1),
         oy=jnp.take_along_axis(ws.oy, order, axis=1),
         level=jnp.take_along_axis(ws.level, order, axis=1))
