@@ -93,6 +93,15 @@ class Options:
                                # refreshes the Jacobian follows Broyden rank-1
                                # secant updates (1 sampling pass per trial)
     LM_LAMBDA0: float = 1e-2   # initial Levenberg damping
+    LM_EXACT_J: bool = True    # TPU kernel: analytic-Jacobian Levenberg loop
+                               # (one ~2.2x-cost grad pass per iteration)
+                               # instead of FD refresh + Broyden trials
+    LM_ITERS_EXACT: int = 8    # iterations of the exact-J loop
+    LM_STEP_CLAMP: float = 4.0  # exact-J trust region: |step| <= clamp * h
+                               # per iteration (h = natural param scales);
+                               # the sqrt-residual GN Hessian is near-flat
+                               # along weak directions and unclamped steps
+                               # blow up there
     LM_H_SHRINK: float = 0.5   # FD step decay per Jacobian-refresh round
                                # (contracting trust region; 1.0 = fixed h)
     LM_FTOL: float = 1e-4      # early-exit: stop refresh rounds once no lane

@@ -65,6 +65,10 @@ class GNStatics(NamedTuple):
     lam0: float
     ftol: float
     h_shrink: float
+    exact_j: bool
+    iters_exact: int
+    step_clamp: float = 4.0
+    debug_j: bool = False
 
 
 def _rows(v):
@@ -100,9 +104,58 @@ def hat_sample_ch(win_ref, base: int, gx, gy, W: int):
     return tex
 
 
-def normalize_ch(tex, n_texels: int):
+def hat_sample_grad_ch(win_ref, base: int, gx, gy, W: int):
+    """hat_sample_ch + exact partials w.r.t. the sample coordinates.
+
+    Returns (tex, Gx, Gy): lists of 3 channel planes (T, NB) with
+    Gx = d tex / d gx, Gy = d tex / d gy. Uses both factorization orders of
+    the separable bilinear sum (x-then-y for tex/Gy, y-then-x for Gx), so a
+    gradient pass costs ~2.2x a value pass instead of 3 FD passes.
+    hat'(u) = -sign(u) on |u| < 1 (subgradient 0 at the kinks)."""
+    f32 = jnp.float32
+    AY, AYD = [], []
+    for yy in range(W):
+        u = gy - float(yy)
+        AY.append(jnp.maximum(0.0, 1.0 - jnp.abs(u)))
+        AYD.append(jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0))
+    # stage A (x-then-y): T2_c[y, t] = sum_x hat(gx-x) win[y, x]
+    tmp = [None, None, None]
+    for xx in range(W):
+        ax = jnp.maximum(0.0, 1.0 - jnp.abs(gx - float(xx)))
+        axb = ax[None, :, :]
+        for c in range(3):
+            wsl = win_ref[base + xx * 3 + c].astype(f32)   # (W, NB)
+            term = axb * wsl[:, None, :]
+            tmp[c] = term if xx == 0 else tmp[c] + term
+    tex = [None, None, None]
+    Gy = [None, None, None]
+    for yy in range(W):
+        for c in range(3):
+            tv = AY[yy] * tmp[c][yy]
+            dv = AYD[yy] * tmp[c][yy]
+            tex[c] = tv if yy == 0 else tex[c] + tv
+            Gy[c] = dv if yy == 0 else Gy[c] + dv
+    # stage B (y-then-x): colsum_c[t] = sum_y hat(gy-y) win[y, xx];
+    # Gx_c = sum_xx hat'(gx-xx) colsum_c
+    Gx = [None, None, None]
+    for xx in range(W):
+        u = gx - float(xx)
+        axd = jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0)
+        for c in range(3):
+            wsl = win_ref[base + xx * 3 + c].astype(f32)   # (W, NB)
+            colsum = None
+            for yy in range(W):
+                t = AY[yy] * wsl[yy:yy + 1]
+                colsum = t if yy == 0 else colsum + t
+            gv = axd * colsum
+            Gx[c] = gv if xx == 0 else Gx[c] + gv
+    return tex, Gx, Gy
+
+
+def normalize_ch(tex, n_texels: int, with_inv=False):
     """Patch2d::normalize (Patch2d.hpp:46-84) on channel planes: subtract
-    per-channel mean, divide by the global std. tex: [3 x (T, NB)]."""
+    per-channel mean, divide by the global std. tex: [3 x (T, NB)].
+    with_inv additionally returns inv = 1/std (for tangent propagation)."""
     f32 = jnp.float32
     cen = []
     var = None
@@ -114,7 +167,22 @@ def normalize_ch(tex, n_texels: int):
         cen.append(cc_)
     std = jnp.sqrt(var / (n_texels * 3.0))
     inv = jnp.where(std == 0.0, 1.0, 1.0 / std).astype(f32)
-    return [cen[0] * inv, cen[1] * inv, cen[2] * inv]
+    out = [cen[0] * inv, cen[1] * inv, cen[2] * inv]
+    return (out, inv) if with_inv else out
+
+
+def normalize_grad_ch(cen, inv, dtex, n_texels: int):
+    """Tangent of Patch2d::normalize at (cen, inv=1/std) for a texture
+    tangent dtex: d cen_c = (dtex_c - mean(dtex_c)) * inv - cen_c * ds * inv
+    with ds = sum_ct cen_c dtex_c / (3T) (exact: sum_t u_c = 0)."""
+    ds = None
+    dm = []
+    for c in range(3):
+        dm.append(jnp.sum(dtex[c], axis=0, keepdims=True) / n_texels)
+        v = jnp.sum(cen[c] * dtex[c], axis=0, keepdims=True)
+        ds = v if ds is None else ds + v
+    ds = ds / (n_texels * 3.0)
+    return [(dtex[c] - dm[c]) * inv - cen[c] * (ds * inv) for c in range(3)]
 
 
 def _norm3(x, y, z):
@@ -128,7 +196,7 @@ def _cross(ax, ay, az, bx, by, bz):
 
 def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
             camc_ref, lim_ref, org_ref, mask_ref, win_ref,
-            xout_ref, fout_ref, *, st: GNStatics):
+            xout_ref, fout_ref, *jout_ref, st: GNStatics):
     W, K = st.W, st.K
     f32 = jnp.float32
 
@@ -250,6 +318,194 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
         rho, n = jax.lax.fori_loop(1, K, kbody, (rho0, n0))
         return rho, n, ref_ok
 
+    def grad_pass(x):
+        """Value + exact Jacobian in one pass (~2.2x a value pass).
+
+        x: (3, NB). Returns (rho (K, NB), n (1, NB), ref_ok (1, NB),
+        J (3, K, NB)) with J[p, k] = d rho_k / d x_p -- the analytic chain
+        through center shift, normal rotation, patch axes, projection,
+        bilinear sampling (hat_sample_grad_ch) and Patch2d normalization
+        (normalize_grad_ch). Validity gates are treated as constants
+        (piecewise-smooth objective, same as the reference's BOBYQA sees)."""
+        sA = st.angle_scale
+        x0v, x1v, x2v = _rows(x)
+        cx = rcx + x0v * rrx
+        cy = rcy + x0v * rry
+        cz = rcz + x0v * rrz
+        a1 = x1v * sA
+        a2 = x2v * sA
+        sa1, ca1 = jnp.sin(a1), jnp.cos(a1)
+        sa2, ca2 = jnp.sin(a2), jnp.cos(a2)
+        ffx = sa1 * ca2
+        ffy = sa2
+        ffz = -ca1 * ca2
+
+        def world(fx, fy, fz):
+            return (e0x * fx + e1x * fy + e2x * fz,
+                    e0y * fx + e1y * fy + e2y * fz,
+                    e0z * fx + e1z * fy + e2z * fz)
+
+        zx, zy, zz = _norm3(*world(ffx, ffy, ffz))
+        # normal tangents (f is unit, e orthonormal -> z = world(f))
+        dz = [None,
+              world(ca1 * ca2 * sA, jnp.zeros_like(sa2), sa1 * ca2 * sA),
+              world(-sa1 * sa2 * sA, ca2 * sA, ca1 * sa2 * sA)]
+        for p in (1, 2):
+            dx_, dy_, dz_ = dz[p]
+            dot = dx_ * zx + dy_ * zy + dz_ * zz
+            dz[p] = (dx_ - zx * dot, dy_ - zy * dot, dz_ - zz * dot)
+
+        # y axis = normalize(z x e0); x axis = normalize(y x z)
+        ux, uy, uz = _cross(zx, zy, zz, e0x, e0y, e0z)
+        rnu = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-24))
+        yx, yy_, yz = ux * rnu, uy * rnu, uz * rnu
+        vx, vy, vz = _norm3(*_cross(yx, yy_, yz, zx, zy, zz))
+        xax = (vx * scale, vy * scale, vz * scale)
+        ydot = (yx * e1x + yy_ * e1y + yz * e1z) * scale
+        yax = (yx * ydot, yy_ * ydot, yz * ydot)
+
+        dxax = [None, None, None]
+        dyax = [None, None, None]
+        for p in (1, 2):
+            dup = _cross(*dz[p], e0x, e0y, e0z)
+            ydu = yx * dup[0] + yy_ * dup[1] + yz * dup[2]
+            dyp = ((dup[0] - yx * ydu) * rnu, (dup[1] - yy_ * ydu) * rnu,
+                   (dup[2] - yz * ydu) * rnu)
+            dv = tuple(a + b for a, b in
+                       zip(_cross(*dyp, zx, zy, zz),
+                           _cross(yx, yy_, yz, *dz[p])))
+            vdv = vx * dv[0] + vy * dv[1] + vz * dv[2]
+            dxax[p] = ((dv[0] - vx * vdv) * scale, (dv[1] - vy * vdv) * scale,
+                       (dv[2] - vz * vdv) * scale)
+            ddot_e1 = (dyp[0] * e1x + dyp[1] * e1y + dyp[2] * e1z) * scale
+            dyax[p] = (dyp[0] * ydot + yx * ddot_e1,
+                       dyp[1] * ydot + yy_ * ddot_e1,
+                       dyp[2] * ydot + yz * ddot_e1)
+
+        def viewg(k):
+            """Returns (valid, cen [3 x (T,NB)], dcen [3 params][3 ch])."""
+            pc = pc_ref[k]
+            pr = pr_ref[k]
+            p9 = p9_ref[k]
+            cc = camc_ref[k]
+            lim = lim_ref[k]
+            org = org_ref[k]
+            mk = mask_ref[k]
+
+            phc = [pc[i:i + 1] + x0v * pr[i:i + 1] for i in range(3)]
+            prr = [pr[i:i + 1] for i in range(3)]
+
+            def pmul(v3, i):
+                return (p9[3 * i:3 * i + 1] * v3[0]
+                        + p9[3 * i + 1:3 * i + 2] * v3[1]
+                        + p9[3 * i + 2:3 * i + 3] * v3[2])
+
+            phx = [phc[i] + pmul(xax, i) for i in range(3)]
+            phy = [phc[i] + pmul(yax, i) for i in range(3)]
+            front = phc[2] > 0.0
+            rwc = 1.0 / jnp.where(front, phc[2], 1.0)
+            c2x = phc[0] * rwc
+            c2y = phc[1] * rwc
+            rwx = 1.0 / jnp.where(phx[2] != 0.0, phx[2], 1.0)
+            xx2, xy2 = phx[0] * rwx, phx[1] * rwx
+            dxx = xx2 - c2x
+            dxy = xy2 - c2y
+            rwy = 1.0 / jnp.where(phy[2] != 0.0, phy[2], 1.0)
+            yx2, yy2v = phy[0] * rwy, phy[1] * rwy
+            dyx = yx2 - c2x
+            dyy = yy2v - c2y
+
+            rx, ry, rz = _norm3(cc[0:1] - cx, cc[1:2] - cy, cc[2:3] - cz)
+            angle_ok = rx * zx + ry * zy + rz * zz >= st.cos_max
+
+            half = P / 2.0
+            adx = half * (jnp.abs(dxx) + jnp.abs(dyx))
+            ady = half * (jnp.abs(dxy) + jnp.abs(dyy))
+            mnx, mxx = c2x - adx, c2x + adx
+            mny, mxy = c2y - ady, c2y + ady
+            m = 3.0
+            bounds_ok = ((mnx >= m) & (mny >= m)
+                         & (mxx < lim[0:1] - m) & (mxy < lim[1:2] - m))
+            oxf, oyf = org[0:1], org[1:2]
+            cover_ok = ((mnx - oxf >= 0.0) & (mny - oyf >= 0.0)
+                        & (mxx - oxf <= W - 1.0) & (mxy - oyf <= W - 1.0))
+            valid = front & angle_ok & bounds_ok & cover_ok & (mk > 0.0)
+
+            # per-param tangents of (c2, dxx, dxy, dyx, dyy)
+            dc2x = [(prr[0] - c2x * prr[2]) * rwc, None, None]
+            dc2y = [(prr[1] - c2y * prr[2]) * rwc, None, None]
+            ddxx = [(prr[0] - xx2 * prr[2]) * rwx - dc2x[0], None, None]
+            ddxy = [(prr[1] - xy2 * prr[2]) * rwx - dc2y[0], None, None]
+            ddyx = [(prr[0] - yx2 * prr[2]) * rwy - dc2x[0], None, None]
+            ddyy = [(prr[1] - yy2v * prr[2]) * rwy - dc2y[0], None, None]
+            zero = jnp.zeros_like(c2x)
+            for p in (1, 2):
+                a0, a1_, a2_ = (pmul(dxax[p], 0), pmul(dxax[p], 1),
+                                pmul(dxax[p], 2))
+                b0, b1_, b2_ = (pmul(dyax[p], 0), pmul(dyax[p], 1),
+                                pmul(dyax[p], 2))
+                dc2x[p] = zero
+                dc2y[p] = zero
+                ddxx[p] = (a0 - xx2 * a2_) * rwx
+                ddxy[p] = (a1_ - xy2 * a2_) * rwx
+                ddyx[p] = (b0 - yx2 * b2_) * rwy
+                ddyy[p] = (b1_ - yy2v * b2_) * rwy
+
+            tlx = c2x - half * (dxx + dyx) - oxf
+            tly = c2y - half * (dxy + dyy) - oyf
+            gx = jnp.clip(tlx + IX * dxx + IY * dyx, 0.0, W - 1.0)
+            gy = jnp.clip(tly + IX * dxy + IY * dyy, 0.0, W - 1.0)
+            # (no clip masks on the tangents: cover_ok valid views never clip)
+
+            tex, Gxs, Gys = hat_sample_grad_ch(win_ref, k * (W * 3), gx, gy,
+                                               W)
+            cen, inv = normalize_ch(tex, P2, with_inv=True)
+            dcen = []
+            for p in range(3):
+                dtlx = dc2x[p] - half * (ddxx[p] + ddyx[p])
+                dtly = dc2y[p] - half * (ddxy[p] + ddyy[p])
+                dgx = dtlx + IX * ddxx[p] + IY * ddyx[p]     # (T, NB)
+                dgy = dtly + IX * ddxy[p] + IY * ddyy[p]
+                dtex = [Gxs[c] * dgx + Gys[c] * dgy for c in range(3)]
+                dcen.append(normalize_grad_ch(cen, inv, dtex, P2))
+            return valid, cen, dcen
+
+        ref_valid, cenr, dcenr = viewg(0)
+        ref_ok = jnp.where(ref_valid, 1.0, 0.0)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+        def kbody(k, carry):
+            rho, n, Jm = carry
+            valid, cen, dcen = viewg(k)
+            dot = None
+            for c in range(3):
+                v = jnp.sum(cenr[c] * cen[c], axis=0, keepdims=True)
+                dot = v if dot is None else dot + v
+            incc = 1.0 - dot / (P2 * 3.0)
+            rob = incc / (1.0 + 3.0 * incc)
+            dr = 1.0 / ((1.0 + 3.0 * incc) * (1.0 + 3.0 * incc))
+            rho_k = jnp.where(valid, rob, 0.0)
+            rho = jnp.where(krow == k, rho_k, rho)
+            n = n + jnp.where(valid, 1.0, 0.0)
+            drho = []
+            for p in range(3):
+                ddot = None
+                for c in range(3):
+                    v = jnp.sum(dcenr[p][c] * cen[c] + cenr[c] * dcen[p][c],
+                                axis=0, keepdims=True)
+                    ddot = v if ddot is None else ddot + v
+                drho.append(jnp.where(valid, -ddot / (P2 * 3.0) * dr, 0.0))
+            # (3,1,NB) update broadcast into slot k (no scatter: Mosaic
+            # cannot lower .at[].set on the TPU path)
+            Jm = jnp.where((krow == k)[None], jnp.stack(drho, 0), Jm)
+            return rho, n, Jm
+
+        rho0 = jnp.zeros((K, NB), f32)
+        n0 = jnp.zeros((1, NB), f32)
+        J0 = jnp.zeros((3, K, NB), f32)
+        rho, n, Jm = jax.lax.fori_loop(1, K, kbody, (rho0, n0, J0))
+        return rho, n, ref_ok, Jm
+
     def mean_or_2(rho, n, ref_ok):
         mean = jnp.sum(rho, axis=0, keepdims=True) / jnp.maximum(n, 1.0)
         good = (ref_ok > 0.0) & (n >= st.min_images - 1)
@@ -257,9 +513,6 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
 
     x = x0_ref[:]                                           # (3, NB)
     h = h_ref[:]                                            # (3, NB)
-    rho, n, ref_ok = sample_pass(x)
-    f = mean_or_2(rho, n, ref_ok)
-    lam = jnp.full((1, NB), st.lam0, f32)
 
     b = st.angle_bound
     i3 = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
@@ -267,10 +520,10 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
     lo = jnp.where(is_depth, -BIG, -b)
     hi = jnp.where(is_depth, BIG, b)
 
-    def inner_body(_, carry):
-        """One damped-Newton trial (1 sampling pass) on the current Jacobian
-        + Broyden rank-1 secant update."""
-        x, rho, n, ref_ok, f, lam, cols = carry
+    def newton_step(cols, rho, n, lam):
+        """Damped GN step from per-view residual columns cols (3, K, NB):
+        g = mean col, H = robust-weighted col outer products, Cramer 3x3
+        solve of (H + lam diag) step = -g."""
         nf = jnp.maximum(n, 1.0)
         wgt = 0.5 / (rho + GN_EPS)                          # (K, NB)
         g = [jnp.sum(cols[i], axis=0, keepdims=True) / nf for i in range(3)]
@@ -284,7 +537,6 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
         h11 = Hm[(1, 1)] + lam * jnp.maximum(jnp.abs(Hm[(1, 1)]), d)
         h22 = Hm[(2, 2)] + lam * jnp.maximum(jnp.abs(Hm[(2, 2)]), d)
         h01, h02, h12 = Hm[(0, 1)], Hm[(0, 2)], Hm[(1, 2)]
-        # Cramer 3x3 solve of Hd step = -g (symmetric)
         c00 = h11 * h22 - h12 * h12
         c01 = h02 * h12 - h01 * h22
         c02 = h01 * h12 - h02 * h11
@@ -297,7 +549,65 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
         s1 = -(c01 * g[0] + c11 * g[1] + c12 * g[2]) * rdet
         s2 = -(c02 * g[0] + c12 * g[1] + c22 * g[2]) * rdet
         step = jnp.concatenate([s0, s1, s2], axis=0)        # (3, NB)
-        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        return jnp.where(jnp.isfinite(step), step, 0.0)
+
+    if st.debug_j:
+        # debug: emit rho and the analytic J at x0, no refinement
+        rho, n, ref_ok, Jm = grad_pass(x)
+        xout_ref[:] = x
+        fout_ref[:] = mean_or_2(rho, n, ref_ok)
+        jout_ref[0][:] = Jm.reshape(3 * st.K, NB)
+        jout_ref[1][:] = rho
+        return
+
+    if st.exact_j:
+        # ---- exact-Jacobian Levenberg loop (deferred acceptance): every
+        # iteration is ONE grad_pass (~2.2 value passes) that yields both the
+        # trial objective and, if accepted, the next iteration's Jacobian.
+        rho, n, ref_ok, Jm = grad_pass(x)
+        f = mean_or_2(rho, n, ref_ok)
+        lam = jnp.full((1, NB), st.lam0, f32)
+
+        def lm_cond(carry):
+            i, dry = carry[0], carry[1]
+            return jnp.logical_and(i < st.iters_exact, dry < 2)
+
+        cl = h * f32(st.step_clamp)   # trust region in natural param scales
+
+        def lm_body(carry):
+            i, dry, x, rho, n, ref_ok, f, Jm, lam = carry
+            step = jnp.clip(newton_step(Jm, rho, n, lam), -cl, cl)
+            x_t = jnp.clip(x + step, lo, hi)
+            rho_t, n_t, ref_t, J_t = grad_pass(x_t)
+            f_t = mean_or_2(rho_t, n_t, ref_t)
+            acc = f_t < f                                   # (1, NB)
+            improved = jnp.max(jnp.where(acc, f - f_t, 0.0))
+            x = jnp.where(acc, x_t, x)
+            rho = jnp.where(acc, rho_t, rho)
+            n = jnp.where(acc, n_t, n)
+            ref_ok = jnp.where(acc, ref_t, ref_ok)
+            f = jnp.where(acc, f_t, f)
+            Jm = jnp.where(acc[None], J_t, Jm)
+            lam = jnp.clip(jnp.where(acc, lam * 0.5, lam * 4.0), 1e-7, 1e7)
+            dry = jnp.where(improved > st.ftol, 0, dry + 1)
+            return i + 1, dry, x, rho, n, ref_ok, f, Jm, lam
+
+        _, _, x, rho, n, ref_ok, f, Jm, lam = jax.lax.while_loop(
+            lm_cond, lm_body,
+            (jnp.int32(0), jnp.int32(0), x, rho, n, ref_ok, f, Jm, lam))
+        xout_ref[:] = x
+        fout_ref[:] = f
+        return
+
+    rho, n, ref_ok = sample_pass(x)
+    f = mean_or_2(rho, n, ref_ok)
+    lam = jnp.full((1, NB), st.lam0, f32)
+
+    def inner_body(_, carry):
+        """One damped-Newton trial (1 sampling pass) on the current Jacobian
+        + Broyden rank-1 secant update."""
+        x, rho, n, ref_ok, f, lam, cols = carry
+        step = newton_step(cols, rho, n, lam)
         x_new = jnp.clip(x + step, lo, hi)
 
         rho_t, n_t, ref_t = sample_pass(x_new)
@@ -385,18 +695,21 @@ def gn_refine_pallas(st: GNStatics, x0T, hT, refT, scaleT, pcT, prT, p9T,
     ins = [x0T, hT, refT, scaleT, pcT, prT, p9T, camcT, limT, orgT, maskT,
            winT]
     in_specs = _specs([a.shape for a in ins])
-    out_specs = _specs([(3, Bt), (1, Bt)])
+    out_shapes = [(3, Bt), (1, Bt)]
+    if st.debug_j:
+        out_shapes += [(3 * st.K, Bt), (st.K, Bt)]
+    out_specs = _specs(out_shapes)
     kern = functools.partial(_kernel, st=st)
-    x, f = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((3, Bt), jnp.float32),
-                   jax.ShapeDtypeStruct((1, Bt), jnp.float32)),
+        out_shape=tuple(jax.ShapeDtypeStruct(sh, jnp.float32)
+                        for sh in out_shapes),
         grid=grid,
         in_specs=in_specs,
         out_specs=list(out_specs),
         interpret=interpret,
     )(*ins)
-    return x, f
+    return out if st.debug_j else (out[0], out[1])
 
 
 def _prep(ctx, opt: Options, center, normal, scale, views, ws):
@@ -481,7 +794,10 @@ def _prep(ctx, opt: Options, center, normal, scale, views, ws):
                    angle_bound=float(opt.ANGLE_BOUND),
                    lam0=float(opt.LM_LAMBDA0),
                    ftol=float(opt.LM_FTOL),
-                   h_shrink=float(opt.LM_H_SHRINK))
+                   h_shrink=float(opt.LM_H_SHRINK),
+                   exact_j=bool(opt.LM_EXACT_J),
+                   iters_exact=int(opt.LM_ITERS_EXACT),
+                   step_clamp=float(opt.LM_STEP_CLAMP))
     extra = (ref_center, ref_ray, ax_x, ax_y, ax_z)
     return st, args, extra
 

@@ -39,6 +39,7 @@ def setup():
 
 def test_kernel_matches_xla_refiner(setup):
     opt, scene, ps, (c0, n0, v1, ok0, ws), ss = setup
+    opt = dataclasses.replace(opt, LM_EXACT_J=False)  # FD-path parity
     xc, xn, xok, xf = jax.vmap(
         functools.partial(popt._optimize_patch, scene.ctx, opt))(
         c0, n0, ss, v1, ws)
@@ -71,3 +72,37 @@ def test_kernel_pads_ragged_batch(setup):
     for a, b in zip(out, full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b[:B]),
                                    atol=1e-6)
+
+
+def test_exact_jacobian_descends_and_beats_fd(setup):
+    """The analytic-Jacobian Levenberg path (LM_EXACT_J) must (a) accept its
+    very first GN step for nearly every patch -- a wrong gradient would make
+    the predicted descent direction fail - and (b) converge at least as well
+    as the FD/Broyden path at the same pass budget."""
+    opt, scene, ps, (c0, n0, v1, ok0, ws), ss = setup
+    good = np.asarray(ok0)
+
+    one = dataclasses.replace(opt, LM_EXACT_J=True, LM_ITERS_EXACT=1)
+    _, _, _, f1 = pallas_gn.gn_refine_batch(
+        scene.ctx, opt=one, center=c0, normal=n0, scale=ss, views=v1, ws=ws,
+        interpret=True)
+    zero = dataclasses.replace(opt, LM_EXACT_J=True, LM_ITERS_EXACT=0)
+    _, _, _, f0 = pallas_gn.gn_refine_batch(
+        scene.ctx, opt=zero, center=c0, normal=n0, scale=ss, views=v1, ws=ws,
+        interpret=True)
+    f0, f1 = np.asarray(f0)[good], np.asarray(f1)[good]
+    assert (f1 <= f0 + 1e-7).all()
+    assert (f1 < f0 - 1e-6).mean() >= 0.8
+
+    ex = dataclasses.replace(opt, LM_EXACT_J=True, LM_ITERS_EXACT=6)
+    ec, en, eok, ef = pallas_gn.gn_refine_batch(
+        scene.ctx, opt=ex, center=c0, normal=n0, scale=ss, views=v1, ws=ws,
+        interpret=True)
+    fd = dataclasses.replace(opt, LM_EXACT_J=False, LM_ITERS=6)
+    _, _, _, ff = pallas_gn.gn_refine_batch(
+        scene.ctx, opt=fd, center=c0, normal=n0, scale=ss, views=v1, ws=ws,
+        interpret=True)
+    ef_, ff_ = np.asarray(ef)[good], np.asarray(ff)[good]
+    assert ef_.mean() <= ff_.mean() + 1e-4
+    d = np.abs(np.asarray(ec)[np.asarray(eok) & good, 2] - ps.plane_z)
+    assert np.median(d) < 0.02
