@@ -24,6 +24,20 @@ from hpmvs_tpu.runtime.wavefront import Engine
 log = logging.getLogger("hpmvs_tpu")
 
 
+def enable_compile_cache(path: str = None):
+    """Persistent XLA compilation cache: kernel compiles (~20-40 s each on a
+    tunneled TPU) are paid once per shape across ALL runs. Called by run()
+    and the CLI; safe to call repeatedly."""
+    import jax
+    path = path or os.path.expanduser("~/.cache/hpmvs_tpu_xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log.warning("compilation cache unavailable: %s", e)
+
+
 def run(model: nvm_io.NvmModel, opt: Options, images=None,
         more_output: bool = False, light_output: int = 0,
         snapshot_hook=None, max_prio: Optional[int] = None,
@@ -33,6 +47,7 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     bundle_adjust: refine cameras + sparse points by Schur-complement BA
     (parallel/ba.py) before densification -- capability beyond the reference."""
     os.makedirs(opt.OUTFOLDER, exist_ok=True)
+    enable_compile_cache()
     if bundle_adjust and model.n_points > 0:
         from hpmvs_tpu.parallel import ba
         prob = ba.build_problem(model)
