@@ -51,6 +51,16 @@ def main(argv=None) -> int:
                     help="view slots per patch")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (cpu/tpu)")
+    ap.add_argument("--checkpoint_every", type=int, default=0,
+                    help="write a resumable checkpoint every N priority "
+                         "steps (runtime/checkpoint.py; 0 = off)")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a checkpoint .npz (rebuilds the "
+                         "queues from the tree like initFromTree, "
+                         "CellProcessor.cpp:422-455)")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of the main loop to "
+                         "this directory (view with tensorboard/xprof)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -73,10 +83,30 @@ def main(argv=None) -> int:
         repl["MAX_VIEWS"] = args.max_views
     opt = dataclasses.replace(Options(), **repl)
 
-    engine = pipeline.run_nvm_file(args.nvm, opt,
-                                   more_output=args.more_output,
-                                   light_output=args.light_output,
-                                   bundle_adjust=args.ba)
+    snapshot_hook = None
+    if args.checkpoint_every > 0:
+        from hpmvs_tpu.runtime import checkpoint as ckpt
+
+        def snapshot_hook(engine, prio, _every=args.checkpoint_every):
+            if prio % _every == 0:
+                ckpt.save_checkpoint(engine,
+                                     os.path.join(args.outdir,
+                                                  "checkpoint.npz"))
+
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+    try:
+        engine = pipeline.run_nvm_file(args.nvm, opt,
+                                       more_output=args.more_output,
+                                       light_output=args.light_output,
+                                       bundle_adjust=args.ba,
+                                       snapshot_hook=snapshot_hook,
+                                       resume=args.resume)
+    finally:
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
     logging.info("final patches: %d", engine.n_alive())
     return 0
 

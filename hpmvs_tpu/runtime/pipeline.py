@@ -41,7 +41,7 @@ def enable_compile_cache(path: str = None):
 def run(model: nvm_io.NvmModel, opt: Options, images=None,
         more_output: bool = False, light_output: int = 0,
         snapshot_hook=None, max_prio: Optional[int] = None,
-        bundle_adjust: bool = False) -> Engine:
+        bundle_adjust: bool = False, resume: Optional[str] = None) -> Engine:
     """Progressive densification main loop (main.cpp:145-202).
 
     bundle_adjust: refine cameras + sparse points by Schur-complement BA
@@ -60,7 +60,13 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     # /tmp/testvis.dat (Scene.cpp:243,279) but into the output folder
     engine = Engine(model, opt, images=images,
                     visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"))
-    engine.seed()
+    if resume:
+        from hpmvs_tpu.runtime import checkpoint as ckpt
+        ckpt.load_checkpoint(engine, resume)
+        ckpt.requeue_from_tree(engine)
+        log.info("resumed %d patches from <%s>", engine.n_alive(), resume)
+    else:
+        engine.seed()
     if more_output:
         engine.save_ply(os.path.join(opt.OUTFOLDER, "patches-init.ply"))
 

@@ -84,3 +84,27 @@ def test_cli(tmp_path):
                    "--max_views", "8"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "patches-final.ply"))
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    """--checkpoint_every writes a resumable state; --resume continues from
+    it (the initFromTree analog, CellProcessor.cpp:422-455)."""
+    from hpmvs_tpu import cli
+    scene = make_plane_scene(n_cams=5, imgsize=128, n_points=40, seed=7,
+                             out_dir=str(tmp_path / "imgs"))
+    nvm_path = str(tmp_path / "scene.nvm")
+    nvm_io.save_nvm(nvm_path, [scene.model])
+    out = str(tmp_path / "out")
+    rc = cli.main(["--nvm", nvm_path, "--outdir", out, "--maxtreelevel", "5",
+                   "--patch_level_final_min", "3", "--start_level", "2",
+                   "--max_views", "8", "--checkpoint_every", "10"])
+    assert rc == 0
+    ck = os.path.join(out, "checkpoint.npz")
+    assert os.path.exists(ck)
+    out2 = str(tmp_path / "out2")
+    rc = cli.main(["--nvm", nvm_path, "--outdir", out2, "--maxtreelevel", "5",
+                   "--patch_level_final_min", "3", "--start_level", "2",
+                   "--max_views", "8", "--resume", ck])
+    assert rc == 0
+    final = ply_io.read_ply_xyz(os.path.join(out2, "patches-final.ply"))
+    assert final.shape[0] > 0
