@@ -178,6 +178,124 @@ def make_plane_scene(
                       extent=extent, f=f, imgsize=imgsize)
 
 
+@dataclasses.dataclass
+class SphereScene:
+    model: nvm_io.NvmModel
+    images: List[np.ndarray]
+    center: np.ndarray          # sphere center
+    radius: float
+    f: float
+    imgsize: int
+
+
+def make_sphere_scene(
+    n_cams: int = 7,
+    imgsize: int = 512,
+    n_points: int = 300,
+    radius: float = 1.0,
+    cam_dist: float = 3.5,
+    arc_deg: float = 55.0,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+) -> SphereScene:
+    """Textured sphere (center at origin) seen from an arc of cameras on the
+    -z side: exact pinhole renders via ray-sphere intersection. Texture is
+    attached to surface world coordinates, so multi-view NCC is consistent.
+    Exercises curved geometry + spatially varying normals (the plane scene
+    cannot catch normal-estimation sign/axis bugs)."""
+    rng = np.random.default_rng(seed)
+    f = imgsize * 1.2
+    tex_size = 2048
+    tex = smooth_texture(rng, tex_size)
+    ext = radius * 1.2
+
+    def tex_at(x, y):
+        u = np.clip((x / ext * 0.5 + 0.5) * (tex_size - 1), 0,
+                    tex_size - 1.001)
+        v = np.clip((y / ext * 0.5 + 0.5) * (tex_size - 1), 0,
+                    tex_size - 1.001)
+        iu, iv = u.astype(np.int64), v.astype(np.int64)
+        fu, fv = (u - iu)[..., None], (v - iv)[..., None]
+        return (tex[iv, iu] * (1 - fu) * (1 - fv)
+                + tex[iv, iu + 1] * fu * (1 - fv)
+                + tex[iv + 1, iu] * (1 - fu) * fv
+                + tex[iv + 1, iu + 1] * fu * fv)
+
+    cameras, images = [], []
+    angles = np.linspace(-np.deg2rad(arc_deg) / 2, np.deg2rad(arc_deg) / 2,
+                         n_cams)
+    for ci, a in enumerate(angles):
+        eye = np.array([cam_dist * np.sin(a), 0.3 * np.sin(2.3 * a),
+                        -cam_dist * np.cos(a)])
+        R = _lookat(eye, np.zeros(3))
+        q = _rot_to_quat(R)
+
+        uu, vv = np.meshgrid(np.arange(imgsize), np.arange(imgsize))
+        d_cam = np.stack([(uu - imgsize / 2.0) / f,
+                          (vv - imgsize / 2.0) / f,
+                          np.ones_like(uu, dtype=np.float64)], axis=-1)
+        d = d_cam @ R
+        dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        # |eye + t d|^2 = r^2
+        b = np.einsum("ijk,k->ij", dn, eye)
+        disc = b * b - (eye @ eye - radius * radius)
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit &= t > 0
+        px = eye[0] + t * dn[..., 0]
+        py = eye[1] + t * dn[..., 1]
+        img = np.clip(tex_at(px, py) + 0.5, 0, 255).astype(np.uint8)
+        img[~hit] = 8
+
+        name = f"cam{ci:02d}.png"
+        if out_dir is not None:
+            from PIL import Image as PILImage
+            os.makedirs(out_dir, exist_ok=True)
+            name = os.path.join(out_dir, name)
+            PILImage.fromarray(img).save(name)
+        cameras.append(nvm_io.NvmCamera(filename=name, f=f, rq=q,
+                                        c=eye.copy(), r=0.0))
+        images.append(img)
+
+    # SfM points on the visible (-z) cap
+    rr = radius * 0.75 * np.sqrt(rng.uniform(0, 1, n_points))
+    th = rng.uniform(0, 2 * np.pi, n_points)
+    pts = np.zeros((n_points, 3))
+    pts[:, 0] = rr * np.cos(th)
+    pts[:, 1] = rr * np.sin(th)
+    pts[:, 2] = -np.sqrt(np.maximum(radius ** 2 - rr ** 2, 0.0))
+    pts += rng.normal(0, 0.002, pts.shape)
+
+    rgb = np.zeros((n_points, 3))
+    m_img, m_feat, m_xy = [], [], []
+    starts = np.zeros(n_points + 1, dtype=np.int64)
+    for ii in range(n_points):
+        cnt = 0
+        for ci, cam in enumerate(cameras):
+            R = _quatR(cam.rq)
+            pc = R @ (pts[ii] - cam.c)
+            if pc[2] <= 0:
+                continue
+            u = f * pc[0] / pc[2] + imgsize / 2.0
+            v = f * pc[1] / pc[2] + imgsize / 2.0
+            if 10 <= u < imgsize - 10 and 10 <= v < imgsize - 10:
+                m_img.append(ci)
+                m_feat.append(ii)
+                m_xy.append((u - imgsize / 2.0, v - imgsize / 2.0))
+                cnt += 1
+        starts[ii + 1] = starts[ii] + cnt
+        rgb[ii] = tex_at(np.array([pts[ii, 0]]), np.array([pts[ii, 1]]))[0]
+
+    model = nvm_io.NvmModel(
+        cameras=cameras, points_xyz=pts, points_rgb=rgb, meas_start=starts,
+        meas_img=np.asarray(m_img, dtype=np.int32),
+        meas_feat=np.asarray(m_feat, dtype=np.int32),
+        meas_xy=(np.asarray(m_xy, dtype=np.float64).reshape(-1, 2)
+                 if m_xy else np.zeros((0, 2))))
+    return SphereScene(model=model, images=images, center=np.zeros(3),
+                       radius=radius, f=f, imgsize=imgsize)
+
+
 def _quatR(q):
     w, x, y, z = q / np.linalg.norm(q)
     return np.array([
