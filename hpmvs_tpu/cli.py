@@ -3,7 +3,9 @@
 Equivalent of src/main.cpp:39-48,208-240: --nvm, --outdir, --subtrees (kept
 for compatibility; batched wavefronts shard internally), --maxtreelevel,
 --patch_level_final_min, --patch_level_init_max, --more_output,
---light_output, --only_sphere.
+--light_output, --only_sphere; plus new capabilities: --ba (bundle
+adjustment), --checkpoint_every/--resume, --profile (jax.profiler trace),
+--start_level, --max_views, --platform.
 
 Usage: python -m hpmvs_tpu.cli --nvm=scene.nvm --outdir=/tmp/out
 """

@@ -465,32 +465,6 @@ def _assure_angles_b(ctx, opt: Options, center, views):
     return jnp.any(good, axis=(-1, -2))
 
 
-def _get_color_b(ctx, opt: Options, center, scale, views):
-    """Batched Scene::getColor (Scene.cpp:300-327); same MAXLEVEL-1 level
-    cap as _get_color."""
-    ci = jnp.maximum(views, 0)
-    valid = views >= 0
-    nlev = opt.MAXLEVEL - 1
-    cb = jnp.broadcast_to(center[:, None], ci.shape + (3,))
-    sb = jnp.broadcast_to(scale[:, None], ci.shape)
-    lvl = cam_ops.get_leveli(ctx.cams, ci, cb, sb, nlev)
-    uvw = cam_ops.project(ctx.cams, ci, cb, lvl)
-    w = ctx.imgs.width[ci, lvl].astype(uvw.dtype)
-    h = ctx.imgs.height[ci, lvl].astype(uvw.dtype)
-    gx = jnp.clip(uvw[..., 0], 0.0, jnp.maximum(w - 2.0, 0.0))
-    gy = jnp.clip(uvw[..., 1], 0.0, jnp.maximum(h - 2.0, 0.0))
-    cols = sampling.bilinear(ctx.imgs.tex, ctx.imgs.row0, ctx.imgs.width,
-                             ci, lvl, gx, gy)               # (B, K, 3)
-    norms = jnp.where(valid, jnp.linalg.norm(cols, axis=-1), BIG)
-    order = jnp.argsort(norms, axis=-1)
-    n = jnp.maximum(jnp.sum(valid, axis=-1), 1)
-    midx = jnp.take_along_axis(order, (n // 2)[:, None], -1)
-    med = jnp.take_along_axis(cols, midx[:, :, None], 1)[:, 0]
-    first = jnp.take_along_axis(cols, order[:, :1, None], 1)[:, 0]
-    return jnp.where(jnp.linalg.norm(med, axis=-1, keepdims=True) > 250.0,
-                     first, med)
-
-
 def _run_pre_b(ctx, opt: Options, center, normal, scale, views):
     """Batched first half of runOptimization (growth + filters + sort).
 

@@ -216,117 +216,19 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
     e1x, e1y, e1z = _rows(e1)
     e2x, e2y, e2z = _rows(e2)
 
-    def sample_pass(x):
-        """x: (3, NB). Returns (rho (K, NB), n (1, NB), ref_ok (1, NB))."""
-        x0v, x1v, x2v = _rows(x)
-        cx = rcx + x0v * rrx
-        cy = rcy + x0v * rry
-        cz = rcz + x0v * rrz
-        a1 = x1v * st.angle_scale
-        a2 = x2v * st.angle_scale
-        ca2 = jnp.cos(a2)
-        ffx = jnp.sin(a1) * ca2
-        ffy = jnp.sin(a2)
-        ffz = -jnp.cos(a1) * ca2
-        nx = e0x * ffx + e1x * ffy + e2x * ffz
-        ny = e0y * ffx + e1y * ffy + e2y * ffz
-        nz = e0z * ffx + e1z * ffy + e2z * ffz
-        zx, zy, zz = _norm3(nx, ny, nz)
-        # patch axes (calculatePatchAxis, PatchOptimizer.cpp:532-548)
-        yx, yy_, yz = _norm3(*_cross(zx, zy, zz, e0x, e0y, e0z))
-        xxv, xyv, xzv = _cross(yx, yy_, yz, zx, zy, zz)
-        xxv, xyv, xzv = _norm3(xxv, xyv, xzv)
-        xax = (xxv * scale, xyv * scale, xzv * scale)
-        ydot = (yx * e1x + yy_ * e1y + yz * e1z) * scale
-        yax = (yx * ydot, yy_ * ydot, yz * ydot)
-
-        def view(k):
-            """Texture of view slot k: returns (valid, t0, t1, t2)."""
-            pc = pc_ref[k]                    # (3, NB)
-            pr = pr_ref[k]
-            p9 = p9_ref[k]                    # (9, NB) row-major 3x3
-            cc = camc_ref[k]
-            lim = lim_ref[k]                  # (2, NB)
-            org = org_ref[k]                  # (2, NB)
-            mk = mask_ref[k]                  # (1, NB)
-
-            phc = [pc[i:i + 1] + x0v * pr[i:i + 1] for i in range(3)]
-
-            def pmul(v3, i):
-                return (p9[3 * i:3 * i + 1] * v3[0]
-                        + p9[3 * i + 1:3 * i + 2] * v3[1]
-                        + p9[3 * i + 2:3 * i + 3] * v3[2])
-
-            phx = [phc[i] + pmul(xax, i) for i in range(3)]
-            phy = [phc[i] + pmul(yax, i) for i in range(3)]
-            front = phc[2] > 0.0
-            rwc = 1.0 / jnp.where(front, phc[2], 1.0)
-            c2x = phc[0] * rwc
-            c2y = phc[1] * rwc
-            rwx = 1.0 / jnp.where(phx[2] != 0.0, phx[2], 1.0)
-            dxx = phx[0] * rwx - c2x
-            dxy = phx[1] * rwx - c2y
-            rwy = 1.0 / jnp.where(phy[2] != 0.0, phy[2], 1.0)
-            dyx = phy[0] * rwy - c2x
-            dyy = phy[1] * rwy - c2y
-
-            rx, ry, rz = _norm3(cc[0:1] - cx, cc[1:2] - cy, cc[2:3] - cz)
-            angle_ok = rx * zx + ry * zy + rz * zz >= st.cos_max
-
-            half = P / 2.0
-            adx = half * (jnp.abs(dxx) + jnp.abs(dyx))
-            ady = half * (jnp.abs(dxy) + jnp.abs(dyy))
-            mnx, mxx = c2x - adx, c2x + adx
-            mny, mxy = c2y - ady, c2y + ady
-            m = 3.0
-            bounds_ok = ((mnx >= m) & (mny >= m)
-                         & (mxx < lim[0:1] - m) & (mxy < lim[1:2] - m))
-            oxf, oyf = org[0:1], org[1:2]
-            cover_ok = ((mnx - oxf >= 0.0) & (mny - oyf >= 0.0)
-                        & (mxx - oxf <= W - 1.0) & (mxy - oyf <= W - 1.0))
-            valid = front & angle_ok & bounds_ok & cover_ok & (mk > 0.0)
-
-            tlx = c2x - half * (dxx + dyx) - oxf
-            tly = c2y - half * (dxy + dyy) - oyf
-            gx = jnp.clip(tlx + IX * dxx + IY * dyx, 0.0, W - 1.0)  # (49, NB)
-            gy = jnp.clip(tly + IX * dxy + IY * dyy, 0.0, W - 1.0)
-
-            tex = hat_sample_ch(win_ref, k * (W * 3), gx, gy, W)
-            cen = normalize_ch(tex, P2)
-            return valid, cen[0], cen[1], cen[2]
-
-        ref_valid, t00, t01, t02 = view(0)
-        ref_ok = jnp.where(ref_valid, 1.0, 0.0)
-
-        krow = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-
-        def kbody(k, carry):
-            rho, n = carry
-            valid, n0, n1, n2 = view(k)
-            dot = (jnp.sum(t00 * n0, axis=0, keepdims=True)
-                   + jnp.sum(t01 * n1, axis=0, keepdims=True)
-                   + jnp.sum(t02 * n2, axis=0, keepdims=True))
-            incc = 1.0 - dot / (P2 * 3.0)
-            rob = incc / (1.0 + 3.0 * incc)
-            rho_k = jnp.where(valid, rob, 0.0)              # (1, NB)
-            rho = jnp.where(krow == k, rho_k, rho)
-            n = n + jnp.where(valid, 1.0, 0.0)
-            return rho, n
-
-        rho0 = jnp.zeros((K, NB), f32)
-        n0 = jnp.zeros((1, NB), f32)
-        rho, n = jax.lax.fori_loop(1, K, kbody, (rho0, n0))
-        return rho, n, ref_ok
-
-    def grad_pass(x):
-        """Value + exact Jacobian in one pass (~2.2x a value pass).
+    def grad_pass(x, with_grad=True):
+        """Value (+ exact Jacobian) pass; the ONE implementation of the
+        objective geometry for both refiner modes (FD and exact-J share
+        every gate and every grid formula by construction).
 
         x: (3, NB). Returns (rho (K, NB), n (1, NB), ref_ok (1, NB),
-        J (3, K, NB)) with J[p, k] = d rho_k / d x_p -- the analytic chain
-        through center shift, normal rotation, patch axes, projection,
+        J (3, K, NB) or None) with J[p, k] = d rho_k / d x_p -- the analytic
+        chain through center shift, normal rotation, patch axes, projection,
         bilinear sampling (hat_sample_grad_ch) and Patch2d normalization
-        (normalize_grad_ch). Validity gates are treated as constants
-        (piecewise-smooth objective, same as the reference's BOBYQA sees)."""
+        (normalize_grad_ch). A grad pass costs ~2.2x a value pass;
+        with_grad=False skips all tangent code at trace time. Validity
+        gates are treated as constants (piecewise-smooth objective, same
+        as the reference's BOBYQA sees)."""
         sA = st.angle_scale
         x0v, x1v, x2v = _rows(x)
         cx = rcx + x0v * rrx
@@ -366,7 +268,7 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
 
         dxax = [None, None, None]
         dyax = [None, None, None]
-        for p in (1, 2):
+        for p in (1, 2) if with_grad else ():
             dup = _cross(*dz[p], e0x, e0y, e0z)
             ydu = yx * dup[0] + yy_ * dup[1] + yz * dup[2]
             dyp = ((dup[0] - yx * ydu) * rnu, (dup[1] - yy_ * ydu) * rnu,
@@ -432,14 +334,15 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
             valid = front & angle_ok & bounds_ok & cover_ok & (mk > 0.0)
 
             # per-param tangents of (c2, dxx, dxy, dyx, dyy)
-            dc2x = [(prr[0] - c2x * prr[2]) * rwc, None, None]
-            dc2y = [(prr[1] - c2y * prr[2]) * rwc, None, None]
-            ddxx = [(prr[0] - xx2 * prr[2]) * rwx - dc2x[0], None, None]
-            ddxy = [(prr[1] - xy2 * prr[2]) * rwx - dc2y[0], None, None]
-            ddyx = [(prr[0] - yx2 * prr[2]) * rwy - dc2x[0], None, None]
-            ddyy = [(prr[1] - yy2v * prr[2]) * rwy - dc2y[0], None, None]
+            if with_grad:
+                dc2x = [(prr[0] - c2x * prr[2]) * rwc, None, None]
+                dc2y = [(prr[1] - c2y * prr[2]) * rwc, None, None]
+                ddxx = [(prr[0] - xx2 * prr[2]) * rwx - dc2x[0], None, None]
+                ddxy = [(prr[1] - xy2 * prr[2]) * rwx - dc2y[0], None, None]
+                ddyx = [(prr[0] - yx2 * prr[2]) * rwy - dc2x[0], None, None]
+                ddyy = [(prr[1] - yy2v * prr[2]) * rwy - dc2y[0], None, None]
             zero = jnp.zeros_like(c2x)
-            for p in (1, 2):
+            for p in (1, 2) if with_grad else ():
                 a0, a1_, a2_ = (pmul(dxax[p], 0), pmul(dxax[p], 1),
                                 pmul(dxax[p], 2))
                 b0, b1_, b2_ = (pmul(dyax[p], 0), pmul(dyax[p], 1),
@@ -457,6 +360,9 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
             gy = jnp.clip(tly + IX * dxy + IY * dyy, 0.0, W - 1.0)
             # (no clip masks on the tangents: cover_ok valid views never clip)
 
+            if not with_grad:
+                tex = hat_sample_ch(win_ref, k * (W * 3), gx, gy, W)
+                return valid, normalize_ch(tex, P2), None
             tex, Gxs, Gys = hat_sample_grad_ch(win_ref, k * (W * 3), gx, gy,
                                                W)
             cen, inv = normalize_ch(tex, P2, with_inv=True)
@@ -483,10 +389,12 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
                 dot = v if dot is None else dot + v
             incc = 1.0 - dot / (P2 * 3.0)
             rob = incc / (1.0 + 3.0 * incc)
-            dr = 1.0 / ((1.0 + 3.0 * incc) * (1.0 + 3.0 * incc))
             rho_k = jnp.where(valid, rob, 0.0)
             rho = jnp.where(krow == k, rho_k, rho)
             n = n + jnp.where(valid, 1.0, 0.0)
+            if not with_grad:
+                return rho, n, Jm
+            dr = 1.0 / ((1.0 + 3.0 * incc) * (1.0 + 3.0 * incc))
             drho = []
             for p in range(3):
                 ddot = None
@@ -502,9 +410,13 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
 
         rho0 = jnp.zeros((K, NB), f32)
         n0 = jnp.zeros((1, NB), f32)
-        J0 = jnp.zeros((3, K, NB), f32)
+        J0 = jnp.zeros((3, K, NB) if with_grad else (1, 1, NB), f32)
         rho, n, Jm = jax.lax.fori_loop(1, K, kbody, (rho0, n0, J0))
-        return rho, n, ref_ok, Jm
+        return rho, n, ref_ok, (Jm if with_grad else None)
+
+    def sample_pass(x):
+        rho, n, ref_ok, _ = grad_pass(x, with_grad=False)
+        return rho, n, ref_ok
 
     def mean_or_2(rho, n, ref_ok):
         mean = jnp.sum(rho, axis=0, keepdims=True) / jnp.maximum(n, 1.0)

@@ -45,7 +45,7 @@ CHALF = P / 2.0   # the true projected center sits at tl + 3.5*(dx+dy);
                   # convention, PatchOptimizer.cpp:495-523)
 
 
-def _kernel(geom_ref, win_ref, out_ref, col_ref, *, W: int, K: int):
+def _kernel(geom_ref, win_ref, out_ref, *col_ref, W: int, K: int):
     f32 = jnp.float32
     ii = jax.lax.broadcasted_iota(jnp.int32, (P2, 1), 0)
     IX = jnp.mod(ii, P).astype(f32)       # (49, 1) texel x index
@@ -56,21 +56,26 @@ def _kernel(geom_ref, win_ref, out_ref, col_ref, *, W: int, K: int):
         gx = jnp.clip(g[0:1] + IX * g[2:3] + IY * g[4:5], 0.0, W - 1.0)
         gy = jnp.clip(g[1:2] + IX * g[3:4] + IY * g[5:6], 0.0, W - 1.0)
         tex = pallas_gn.hat_sample_ch(win_ref, k * (W * 3), gx, gy, W)
-        # bilinear RGB at the exact patch center (Scene::getColor's sample,
-        # Scene.cpp:311-315): one extra 1-point hat sample, ~2% of the pass
-        gxc = jnp.clip(g[0:1] + CHALF * (g[2:3] + g[4:5]), 0.0, W - 1.0)
-        gyc = jnp.clip(g[1:2] + CHALF * (g[3:4] + g[5:6]), 0.0, W - 1.0)
-        col = pallas_gn.hat_sample_ch(win_ref, k * (W * 3), gxc, gyc, W)
-        for c in range(3):
-            col_ref[k * 3 + c] = col[c]
+        if col_ref:
+            # bilinear RGB at the exact patch center (Scene::getColor's
+            # sample, Scene.cpp:311-315): one extra 1-point hat sample,
+            # ~2% of the pass; skipped entirely for with_color=False passes
+            gxc = jnp.clip(g[0:1] + CHALF * (g[2:3] + g[4:5]), 0.0, W - 1.0)
+            gyc = jnp.clip(g[1:2] + CHALF * (g[3:4] + g[5:6]), 0.0, W - 1.0)
+            col = pallas_gn.hat_sample_ch(win_ref, k * (W * 3), gxc, gyc, W)
+            for c in range(3):
+                col_ref[0][k * 3 + c] = col[c]
         cen = pallas_gn.normalize_ch(tex, P2)
         for c in range(3):
             out_ref[k * 3 + c] = cen[c]
 
 
-@functools.partial(jax.jit, static_argnames=("W", "K", "interpret"))
-def _sample_pallas(geomT, winT, W: int, K: int, interpret=False):
-    """geomT (K, 6, B), winT (K*W*3, W, B) bf16 -> texT (K*3, P2, B) f32."""
+@functools.partial(jax.jit,
+                   static_argnames=("W", "K", "interpret", "with_color"))
+def _sample_pallas(geomT, winT, W: int, K: int, interpret=False,
+                   with_color=False):
+    """geomT (K, 6, B), winT (K*W*3, W, B) bf16 -> texT (K*3, P2, B) f32
+    [+ colT (K*3, 1, B) with with_color]."""
     Bt = geomT.shape[-1]
     assert Bt % NB == 0
     grid = (Bt // NB,)
@@ -82,15 +87,17 @@ def _sample_pallas(geomT, winT, W: int, K: int, interpret=False):
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel, W=W, K=K)
-    return pl.pallas_call(
+    shapes = [(K * 3, P2, Bt)] + ([(K * 3, 1, Bt)] if with_color else [])
+    out = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((K * 3, P2, Bt), jnp.float32),
-                   jax.ShapeDtypeStruct((K * 3, 1, Bt), jnp.float32)),
+        out_shape=tuple(jax.ShapeDtypeStruct(sh, jnp.float32)
+                        for sh in shapes),
         grid=grid,
         in_specs=[spec(geomT.shape), spec(winT.shape)],
-        out_specs=[spec((K * 3, P2, Bt)), spec((K * 3, 1, Bt))],
+        out_specs=[spec(sh) for sh in shapes],
         interpret=interpret,
     )(geomT, winT)
+    return out if with_color else (out[0], None)
 
 
 def _geometry(ctx, opt: Options, center, normal, scale, views, ws):
@@ -212,7 +219,8 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
         winT = (jnp.transpose(win, (1, 3, 4, 2, 0))
                 .reshape(K * W * 3, W, B + pad).astype(jnp.bfloat16))
     geomT = jnp.transpose(geom, (1, 2, 0))               # (K, 6, B)
-    texT, colT = _sample_pallas(geomT, winT, W, K, interpret=interpret)
+    texT, colT = _sample_pallas(geomT, winT, W, K, interpret=interpret,
+                                with_color=with_color)
     tex = jnp.transpose(texT.reshape(K, 3, P2, B + pad), (3, 0, 2, 1))
     if pad:
         tex = tex[:B]

@@ -29,6 +29,8 @@ def enable_compile_cache(path: str = None):
     tunneled TPU) are paid once per shape across ALL runs. Called by run()
     and the CLI; safe to call repeatedly."""
     import jax
+    if jax.config.jax_compilation_cache_dir:
+        return  # respect a cache the embedding application configured
     path = path or os.path.expanduser("~/.cache/hpmvs_tpu_xla")
     try:
         os.makedirs(path, exist_ok=True)

@@ -122,7 +122,7 @@ class Engine:
                                            views[i:i + cap]))
             return tuple(np.concatenate([o[j] for o in outs])
                          for j in range(7))
-        b = _bucket(n)
+        b = min(_bucket(n), cap)
         if self.mesh is not None:
             ms = int(self.mesh.devices.size)
             b = -(-b // ms) * ms
@@ -180,7 +180,7 @@ class Engine:
                     parent_c[i:i + cap], widths[i:i + cap]))
             return tuple(np.concatenate([o[j] for o in outs])
                          for j in range(6))
-        b = _bucket(n)
+        b = min(_bucket(n), cap)
 
         def pad(a, fill=0.0):
             out = np.full((b,) + a.shape[1:], fill, a.dtype)

@@ -106,3 +106,39 @@ def test_exact_jacobian_descends_and_beats_fd(setup):
     assert ef_.mean() <= ff_.mean() + 1e-4
     d = np.abs(np.asarray(ec)[np.asarray(eok) & good, 2] - ps.plane_z)
     assert np.median(d) < 0.02
+
+
+def test_analytic_jacobian_matches_fd(setup):
+    """The exact-J kernel's analytic Jacobian (grad_pass) must match central
+    finite differences of its own objective (debug_j emits rho + J at x0)."""
+    opt, scene, ps, (c0, n0, v1, ok0, ws), ss = setup
+    B = c0.shape[0]
+    pad = 128 - B
+    padf = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+    center = padf(c0)
+    normal = padf(jnp.asarray(n0, jnp.float32))
+    scale = padf(ss)
+    views = jnp.concatenate(
+        [v1, jnp.full((pad, v1.shape[1]), -1, v1.dtype)], 0)
+    ws_p = jax.tree.map(padf, ws)
+    st, args, _ = pallas_gn._prep(scene.ctx, opt, center, normal, scale,
+                                  views, ws_p)
+    std = st._replace(debug_j=True)
+    _, _, JT, _ = pallas_gn.gn_refine_pallas(std, interpret=True, **args)
+    J = np.asarray(JT).reshape(3, std.K, -1)[:, :, :B]
+
+    for p in range(3):
+        eps = 1e-3 if p == 0 else 1e-2
+        e = jnp.zeros_like(args["x0T"]).at[p].set(eps)
+        a2 = dict(args)
+        a2["x0T"] = args["x0T"] + e
+        _, _, _, rp = pallas_gn.gn_refine_pallas(std, interpret=True, **a2)
+        a2["x0T"] = args["x0T"] - e
+        _, _, _, rm = pallas_gn.gn_refine_pallas(std, interpret=True, **a2)
+        fd = (np.asarray(rp)[:, :B] - np.asarray(rm)[:, :B]) / (2 * eps)
+        m = (np.abs(fd) > 1e-5) | (np.abs(J[p]) > 1e-5)
+        assert m.sum() > 20
+        rel = np.abs(J[p] - fd)[m] / np.maximum(np.abs(fd[m]), 1e-4)
+        # FD is itself noisy across hat-function kinks: median must be tight
+        assert np.median(rel) < 0.05, (p, np.median(rel))
