@@ -24,6 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hpmvs_tpu.runtime import pipeline
+    pipeline.enable_compile_cache()
+
     from hpmvs_tpu.config import Options
     from hpmvs_tpu.core import scene as scene_mod
     from hpmvs_tpu.ops import optimizer as popt
