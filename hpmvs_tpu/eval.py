@@ -62,3 +62,37 @@ def plane_metrics(cloud: np.ndarray, plane_z: float, extent: float,
         "completeness": completeness(cloud, ref, tol),
         "n_points": int(len(cloud)),
     }
+
+
+def main(argv=None) -> int:
+    """CLI: compare two point clouds.
+
+    python -m hpmvs_tpu.eval reconstruction.ply reference.ply [--tau 0.01]
+    prints accuracy (cloud->ref), completeness (ref->cloud at tau) and
+    chamfer distance as one JSON line."""
+    import argparse
+    import json
+
+    from hpmvs_tpu.io import ply as ply_io
+
+    ap = argparse.ArgumentParser(description="point-cloud quality metrics")
+    ap.add_argument("cloud", help="reconstructed PLY")
+    ap.add_argument("reference", help="reference / ground-truth PLY")
+    ap.add_argument("--tau", type=float, default=0.01,
+                    help="completeness distance threshold")
+    args = ap.parse_args(argv)
+    a = ply_io.read_ply_xyz(args.cloud)
+    b = ply_io.read_ply_xyz(args.reference)
+    print(json.dumps({
+        "n_cloud": int(len(a)), "n_reference": int(len(b)),
+        "accuracy_mean": float(np.mean(_nn_dists(a, b))),
+        "accuracy_median": float(np.median(_nn_dists(a, b))),
+        "completeness": completeness(a, b, tol=args.tau),
+        "chamfer": chamfer(a, b),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
