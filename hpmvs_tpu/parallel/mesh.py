@@ -37,6 +37,29 @@ from hpmvs_tpu.core import depth as depth_mod
 from hpmvs_tpu.ops import optimizer as popt
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: jax.distributed.initialize + return the global
+    device count. On a pod slice the launcher env (TPU_WORKER_HOSTNAMES /
+    JAX coordinator vars) is picked up automatically when the explicit args
+    are None; single-process environments return without touching anything.
+    After this, make_mesh() sees every chip in the slice and all collectives
+    (halo all_to_all, depth pmin, termination psum) ride ICI/DCN."""
+    import os
+    explicit = coordinator is not None
+    auto = any(k in os.environ for k in
+               ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"))
+    if explicit or auto:
+        kw = {}
+        if explicit:
+            kw = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(**kw)
+    return len(jax.devices())
+
+
 def make_mesh(n_devices: Optional[int] = None,
               shape: Optional[Tuple[int, int]] = None) -> Mesh:
     """Build a ('dp', 'sp') mesh over the available devices."""
