@@ -50,3 +50,19 @@ def test_ext_ply_ascii_and_binary(tmp_path):
     body = open(p_light, "rb").read()
     hdr_end = body.index(b"end_header\n") + len(b"end_header\n")
     assert len(body) - hdr_end == n * (12 + 3)
+
+
+def test_nvm_multi_model_roundtrip(tmp_path):
+    """NVM_V3 files can hold several models (NVMReader.cpp:115-155); all of
+    them round-trip and the pipeline consumes models[0] like the reference
+    (main.cpp:106-112)."""
+    s1 = make_plane_scene(n_cams=4, imgsize=64, n_points=20, seed=3)
+    s2 = make_plane_scene(n_cams=3, imgsize=64, n_points=11, seed=4)
+    path = str(tmp_path / "multi.nvm")
+    nvm_io.save_nvm(path, [s1.model, s2.model])
+    models = nvm_io.read_nvm(path, fix_path=False)
+    assert len(models) == 2
+    assert len(models[0].cameras) == 4 and models[0].n_points == 20
+    assert len(models[1].cameras) == 3 and models[1].n_points == 11
+    np.testing.assert_allclose(models[1].points_xyz, s2.model.points_xyz,
+                               rtol=1e-10)
