@@ -43,11 +43,25 @@ def enable_compile_cache(path: str = None):
 def run(model: nvm_io.NvmModel, opt: Options, images=None,
         more_output: bool = False, light_output: int = 0,
         snapshot_hook=None, max_prio: Optional[int] = None,
-        bundle_adjust: bool = False, resume: Optional[str] = None) -> Engine:
+        bundle_adjust: bool = False, resume: Optional[str] = None,
+        mesh="auto") -> Engine:
     """Progressive densification main loop (main.cpp:145-202).
 
     bundle_adjust: refine cameras + sparse points by Schur-complement BA
-    (parallel/ba.py) before densification -- capability beyond the reference."""
+    (parallel/ba.py) before densification -- capability beyond the reference.
+    mesh: a jax.sharding.Mesh to shard wavefront batches over, None for
+    single-device, or "auto" (default): build a mesh over all local devices
+    when more than one is visible (the OpenMP-over-subtrees analog,
+    main.cpp:127-139)."""
+    if mesh == "auto":
+        import jax
+        mesh = None
+        if len(jax.devices()) > 1:
+            from hpmvs_tpu.parallel import mesh as pmesh
+            mesh = pmesh.make_mesh()
+            log.info("sharding wavefronts over %d devices %s",
+                     mesh.devices.size, dict(zip(mesh.axis_names,
+                                                 mesh.devices.shape)))
     os.makedirs(opt.OUTFOLDER, exist_ok=True)
     enable_compile_cache()
     if bundle_adjust and model.n_points > 0:
@@ -61,7 +75,8 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     # PMVS-style VISDATA debug dump, like the reference's always-written
     # /tmp/testvis.dat (Scene.cpp:243,279) but into the output folder
     engine = Engine(model, opt, images=images,
-                    visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"))
+                    visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"),
+                    mesh=mesh)
     if resume:
         from hpmvs_tpu.runtime import checkpoint as ckpt
         ckpt.load_checkpoint(engine, resume)
