@@ -847,11 +847,55 @@ def _optimize_patch(ctx, opt: Options, center, normal, scale, views, ws=None):
             0, inner, inner_body, (x, rho, n, ref_ok, f, lam, J))
         return x, rho, n, ref_ok, f, lam
 
-    rho0, n0, r0 = res_vec(x0)
-    f0 = mean_or_2(rho0, n0, r0)
-    x, _, _, _, f, _ = jax.lax.fori_loop(
-        0, outer, outer_body,
-        (x0, rho0, n0, r0, f0, jnp.asarray(opt.LM_LAMBDA0)))
+    if opt.LM_EXACT_J:
+        # analytic-Jacobian Levenberg loop with deferred acceptance: the
+        # same algorithm as the pallas kernel's exact-J mode (ops/
+        # pallas_gn.py) with the Jacobian from forward-mode autodiff
+        # through the sampler -- one grad pass per iteration.
+        def _rj(xx):
+            rho, n, ref_ok = res_vec(xx)
+            return rho, (rho, n, ref_ok)
+
+        def grad_pass(xx):
+            Jk, (rho, n, ref_ok) = jax.jacfwd(_rj, has_aux=True)(xx)
+            return rho, n, ref_ok, Jk.T                      # J (3, K)
+
+        cl = h * opt.LM_STEP_CLAMP
+
+        def exact_body(_, state):
+            x, rho, n, ref_ok, f, lam, J = state
+            n_f = jnp.maximum(n, 1.0)
+            g = jnp.sum(J, axis=1) / n_f
+            w = 0.5 / (rho + eps)
+            H = (J * w[None, :]) @ J.T / n_f
+            Hd = H + lam * jnp.diag(jnp.maximum(jnp.abs(jnp.diag(H)), 1e-6))
+            step = -jnp.linalg.solve(Hd, g)
+            step = jnp.clip(jnp.where(jnp.isfinite(step), step, 0.0),
+                            -cl, cl)
+            x_t = jnp.clip(x + step, lo, hi)
+            rho_t, n_t, ref_t, J_t = grad_pass(x_t)
+            f_t = mean_or_2(rho_t, n_t, ref_t)
+            acc = f_t < f
+            x = jnp.where(acc, x_t, x)
+            rho = jnp.where(acc, rho_t, rho)
+            n = jnp.where(acc, n_t, n)
+            ref_ok = jnp.where(acc, ref_t, ref_ok)
+            f = jnp.where(acc, f_t, f)
+            J = jnp.where(acc, J_t, J)
+            lam = jnp.clip(jnp.where(acc, lam * 0.5, lam * 4.0), 1e-7, 1e7)
+            return x, rho, n, ref_ok, f, lam, J
+
+        rho0, n0, r0, J0 = grad_pass(x0)
+        f0 = mean_or_2(rho0, n0, r0)
+        x, _, _, _, f, _, _ = jax.lax.fori_loop(
+            0, int(opt.LM_ITERS_EXACT), exact_body,
+            (x0, rho0, n0, r0, f0, jnp.asarray(opt.LM_LAMBDA0), J0))
+    else:
+        rho0, n0, r0 = res_vec(x0)
+        f0 = mean_or_2(rho0, n0, r0)
+        x, _, _, _, f, _ = jax.lax.fori_loop(
+            0, outer, outer_body,
+            (x0, rho0, n0, r0, f0, jnp.asarray(opt.LM_LAMBDA0)))
 
     # setCenterNorm(x) write-back (PatchOptimizer.cpp:401-414)
     new_center = ref_center + x[0] * ref_ray

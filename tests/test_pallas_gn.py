@@ -142,3 +142,20 @@ def test_analytic_jacobian_matches_fd(setup):
         rel = np.abs(J[p] - fd)[m] / np.maximum(np.abs(fd[m]), 1e-4)
         # FD is itself noisy across hat-function kinks: median must be tight
         assert np.median(rel) < 0.05, (p, np.median(rel))
+
+
+def test_exact_kernel_matches_xla_exact(setup):
+    """Exact-J kernel vs the XLA exact-J refiner (jax.jacfwd): same
+    algorithm, two independent gradient implementations -- refined geometry
+    must agree to window-bf16 tolerance."""
+    opt, scene, ps, (c0, n0, v1, ok0, ws), ss = setup
+    opt = dataclasses.replace(opt, LM_EXACT_J=True, LM_ITERS_EXACT=4)
+    xc, xn, xok, xf = jax.vmap(
+        functools.partial(popt._optimize_patch, scene.ctx, opt))(
+        c0, n0, ss, v1, ws)
+    kc, kn, kok, kf = pallas_gn.gn_refine_batch(
+        scene.ctx, opt, c0, n0, ss, v1, ws, interpret=True)
+    assert bool(jnp.all(xok == kok))
+    np.testing.assert_allclose(np.asarray(kc), np.asarray(xc), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kn), np.asarray(xn), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(kf), np.asarray(xf), atol=5e-3)
