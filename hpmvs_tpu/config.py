@@ -109,6 +109,13 @@ class Options:
                                # this (batched analog of BOBYQA xtol_rel,
                                # PatchOptimizer.cpp:352)
     BATCH: int = 2048          # wavefront batch bucket size
+    EXTEND_SUBROUNDS: int = 1  # split each level's extend batch into R
+                               # sequential sub-rounds with depth-buffer
+                               # updates between them: later candidates see
+                               # surfaces accepted earlier in the level,
+                               # closer to the reference's fully sequential
+                               # setDepths interleaving (SURVEY.md section 7
+                               # 'depth-buffer freshness'); 1 = one batch
     DTYPE: str = "float32"
 
     @property

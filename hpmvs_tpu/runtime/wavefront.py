@@ -398,6 +398,18 @@ class Engine:
 
     # -- extend (CellProcessor::extend, :84-178) ------------------------
     def _extend_cells(self, cids: np.ndarray):
+        """Optionally in EXTEND_SUBROUNDS sequential sub-rounds so later
+        candidates depth-test against surfaces accepted earlier in the same
+        level (freshness knob; the reference interleaves per cell)."""
+        r = max(1, int(self.opt.EXTEND_SUBROUNDS))
+        if r > 1 and len(cids) > 1:
+            for part in np.array_split(cids, min(r, len(cids))):
+                if len(part):
+                    self._extend_cells_batch(part)
+            return
+        self._extend_cells_batch(cids)
+
+    def _extend_cells_batch(self, cids: np.ndarray):
         opt = self.opt
         N = opt.EXTEND_DIRS
         pids = np.asarray([self.cell_patches[c][0] for c in cids])

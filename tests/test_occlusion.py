@@ -61,3 +61,29 @@ def test_view_lists_respect_occlusion(occ_run):
     c, n, col, s, v, nv = eng.alive_arrays()
     near_fg = np.abs(c[:, 2] - scene.fg_z) < 0.05
     assert (nv[near_fg] >= opt.MIN_IMAGES_PER_PATCH).all()
+
+
+def test_extend_subrounds_consistent(tmp_path):
+    """EXTEND_SUBROUNDS > 1 (fresher depth buffers within a level) must
+    produce a reconstruction of comparable density and quality."""
+    import dataclasses
+    import numpy as np
+    from hpmvs_tpu.config import Options
+    from hpmvs_tpu.runtime import pipeline
+    from hpmvs_tpu.testing import make_plane_scene
+
+    scene = make_plane_scene(n_cams=5, imgsize=128, n_points=40, seed=11)
+    base = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                               COVIS_MIN_POINTS=20, MAX_TREE_LEVEL=5,
+                               PATCH_FINAL_MINLEVEL=3)
+    outs = []
+    for r in (1, 3):
+        opt = dataclasses.replace(base, EXTEND_SUBROUNDS=r,
+                                  OUTFOLDER=str(tmp_path / f"o{r}"))
+        eng = pipeline.run(scene.model, opt, images=scene.images)
+        c = eng.alive_arrays()[0]
+        err = np.abs(c[:, 2] - scene.plane_z).mean()
+        outs.append((len(c), err))
+    (n1, e1), (n3, e3) = outs
+    assert n3 > 0.7 * n1 and n3 < 1.4 * n1
+    assert e3 < 0.02 and e1 < 0.02
