@@ -315,10 +315,11 @@ def _fetch_ws_b(ctx, opt: Options, views, center, scale, prev=None,
     post add-images compaction keeps surviving views first); only the newly
     added slots DMA from HBM."""
     ci = jnp.maximum(views, 0)
-    mask = None
     if prev is not None:
         k = views.shape[1]
         mask = (jnp.arange(k)[None] >= nv_old[:, None]) & (views >= 0)
+    else:
+        mask = views >= 0   # empty slots skip their DMA entirely
     return win_ops.fetch_windows_t(
         ctx.cams, ctx.imgs, ci,
         jnp.broadcast_to(center[:, None], ci.shape + (3,)),
