@@ -363,15 +363,17 @@ def _add_images_b(ctx, opt: Options, center, normal, scale, views):
 
 
 def _sample_views_b(ctx, opt: Options, center, normal, scale, views, ws,
-                    with_color=False):
+                    with_color=False, layout="bkpc"):
     """Batched _sample_views through the scoring kernel (TPU) / XLA fallback.
     z axis = normalize(normal), tangent frame from slot 0 -- the _set_inccs
-    convention (PatchOptimizer.cpp:448-474). Returns (tex (B,K,49,3),
-    valid (B,K) incl. views >= 0[, center RGB (B,K,3) with with_color])."""
+    convention (PatchOptimizer.cpp:448-474). Returns (tex (B,K,49,3), or
+    (K,3,49,B) with layout="kcpb", valid (B,K) incl. views >= 0[, center
+    RGB (B,K,3) with with_color])."""
     from hpmvs_tpu.ops import pallas_score
     out = pallas_score.sample_views_batch(ctx, opt, center, normal,
                                           scale, views, ws,
-                                          with_color=with_color)
+                                          with_color=with_color,
+                                          layout=layout)
     if with_color:
         tex, valid, col = out
         return tex, valid & (views >= 0), col
@@ -381,11 +383,15 @@ def _sample_views_b(ctx, opt: Options, center, normal, scale, views, ws,
 
 def _filter_ncc_b(ctx, opt: Options, center, normal, scale, views, alpha,
                   ws):
-    """Batched filterImagesNCC (PatchOptimizer.cpp:138-152)."""
+    """Batched filterImagesNCC (PatchOptimizer.cpp:138-152). NCC contracted
+    in the scoring kernel's lane-major (K,3,P2,B) layout -- patches stay on
+    lanes, no tex transpose."""
     k = views.shape[1]
-    tex, valid = _sample_views_b(ctx, opt, center, normal, scale, views, ws)
+    tex, valid = _sample_views_b(ctx, opt, center, normal, scale, views, ws,
+                                 layout="kcpb")
     ref_ok = valid[:, 0]
-    nccs = jnp.einsum("bpc,bkpc->bk", tex[:, 0], tex) / sampling.N_TEXELS
+    nccs = (jnp.einsum("kcpb,cpb->bk", tex, tex[0])
+            / sampling.N_TEXELS)
     inccs = jnp.where(valid & ref_ok[:, None], 1.0 - nccs, 2.0)
     inccs = inccs.at[:, 0].set(jnp.where(ref_ok, 0.0, 2.0))
     keep = (views >= 0) & (inccs < 1.0 - alpha)
@@ -515,8 +521,8 @@ def _run_post_b(ctx, opt: Options, center, normal, scale, views, ok,
     else:
         ws = _fetch_ws_b(ctx, opt, views, center, scale)
     tex, vv, cols = _sample_views_b(ctx, opt, center, normal, scale, views,
-                                    ws, with_color=True)
-    nccs = jnp.einsum("bapc,bkpc->bak", tex, tex) / sampling.N_TEXELS
+                                    ws, with_color=True, layout="kcpb")
+    nccs = jnp.einsum("acpb,kcpb->bak", tex, tex) / sampling.N_TEXELS
     pair_ok = vv[:, :, None] & vv[:, None, :]
     eye = jnp.eye(k, dtype=bool)[None]
     # plain pairwise incc (2.0 where either sample failed; 0 on the diagonal

@@ -161,13 +161,17 @@ def _win_width(ws) -> int:
 
 
 def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
-                       use_kernel=None, interpret=False, with_color=False):
+                       use_kernel=None, interpret=False, with_color=False,
+                       layout="bkpc"):
     """Batched texture sampling of every view slot from cached windows.
 
     center (B,3), normal (B,3), scale (B,), views (B,K), ws over (B,K) slots
     (WinTState kernel layout, or legacy WindowState for the fallback).
     Returns (tex (B,K,49,3) normalized f32, valid (B,K) bool; valid does NOT
     include views >= 0 -- same contract as windows.sample_from_windows).
+    layout="kcpb" returns tex as (K, 3, P2, B) -- the kernel's native
+    lane-major layout, skipping a 10 MB lane transpose per pass; NCC
+    consumers contract it directly (lanes = patches stay minor).
     with_color adds a third output: the raw bilinear RGB at the patch center
     per view slot, (B, K, 3) -- the same pixel Scene::getColor would fetch
     (Scene.cpp:311-315), read from the already-sampled texture for free
@@ -194,6 +198,16 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
         win5 = (ws.to_win5() if isinstance(ws, win_ops.WinTState)
                 else ws.win)
         tex = win_ops.hat_sample(win5, gx, gy)
+        if layout == "kcpb":
+            tex = jnp.transpose(sampling.normalize_tex(tex), (1, 3, 2, 0))
+            if with_color:
+                gxc = jnp.clip(tl[..., 0] + CHALF * (dx[..., 0] + dy[..., 0]),
+                               0.0, W - 1.0)[..., None]
+                gyc = jnp.clip(tl[..., 1] + CHALF * (dx[..., 1] + dy[..., 1]),
+                               0.0, W - 1.0)[..., None]
+                col = win_ops.hat_sample(win5, gxc, gyc)[..., 0, :]
+                return tex, valid, col
+            return tex, valid
         if with_color:
             gxc = jnp.clip(tl[..., 0] + CHALF * (dx[..., 0] + dy[..., 0]),
                            0.0, W - 1.0)[..., None]
@@ -221,9 +235,13 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
     geomT = jnp.transpose(geom, (1, 2, 0))               # (K, 6, B)
     texT, colT = _sample_pallas(geomT, winT, W, K, interpret=interpret,
                                 with_color=with_color)
-    tex = jnp.transpose(texT.reshape(K, 3, P2, B + pad), (3, 0, 2, 1))
-    if pad:
-        tex = tex[:B]
+    if layout == "kcpb":
+        tex = texT.reshape(K, 3, P2, B + pad)
+        assert pad == 0
+    else:
+        tex = jnp.transpose(texT.reshape(K, 3, P2, B + pad), (3, 0, 2, 1))
+        if pad:
+            tex = tex[:B]
     if with_color:
         col = jnp.transpose(colT.reshape(K, 3, B + pad), (2, 0, 1))
         if pad:
