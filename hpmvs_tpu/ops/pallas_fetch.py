@@ -66,7 +66,7 @@ def _kernel(rows_ref, blk_ref, off_ref, mask_ref, tex_ref, out_ref, slab,
                                     slab[slot, j, :, 1, :]],
                                    axis=-1)                    # (W, 256)
             rolled = pltpu.roll(flat, -off_ref[i * _T + j], 1)
-            out_ref[j] = rolled[:, :128]
+            out_ref[j] = rolled[:, :128].astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(fetched))
         def _():
@@ -105,9 +105,12 @@ def fetch_windows_dma(texb: jnp.ndarray, rows: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, _T)),
         ],
     )
+    # output bf16: pixel values are uint8-exact in bf16 and every consumer
+    # (slab transpose, hat kernels) reads windows as bf16 anyway -- halves
+    # the writeback and the downstream transpose's read traffic
     out = pl.pallas_call(
         functools.partial(_kernel, W=W, n_steps=n_steps),
-        out_shape=jax.ShapeDtypeStruct((n + pad, W, 128), texb.dtype),
+        out_shape=jax.ShapeDtypeStruct((n + pad, W, 128), jnp.bfloat16),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(rows, blk0, off, mask, texb)
