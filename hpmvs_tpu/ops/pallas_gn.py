@@ -482,7 +482,7 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
 
         def lm_cond(carry):
             i, dry = carry[0], carry[1]
-            return jnp.logical_and(i < st.iters_exact, dry < 2)
+            return jnp.logical_and(i < st.iters_exact - 1, dry < 2)
 
         cl = h * f32(st.step_clamp)   # trust region in natural param scales
 
@@ -507,6 +507,16 @@ def _kernel(x0_ref, h_ref, ref_ref, scale_ref, pc_ref, pr_ref, p9_ref,
         _, _, x, rho, n, ref_ok, f, Jm, lam = jax.lax.while_loop(
             lm_cond, lm_body,
             (jnp.int32(0), jnp.int32(0), x, rho, n, ref_ok, f, Jm, lam))
+        if st.iters_exact > 0:
+            # final trial: the trajectory never uses the last iteration's
+            # Jacobian, so it is a plain value pass (1x instead of ~2.2x)
+            step = jnp.clip(newton_step(Jm, rho, n, lam), -cl, cl)
+            x_t = jnp.clip(x + step, lo, hi)
+            rho_t, n_t, ref_t = sample_pass(x_t)
+            f_t = mean_or_2(rho_t, n_t, ref_t)
+            acc = f_t < f
+            x = jnp.where(acc, x_t, x)
+            f = jnp.where(acc, f_t, f)
         xout_ref[:] = x
         fout_ref[:] = f
         return
