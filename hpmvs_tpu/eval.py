@@ -81,14 +81,19 @@ def main(argv=None) -> int:
     ap.add_argument("--tau", type=float, default=0.01,
                     help="completeness distance threshold")
     args = ap.parse_args(argv)
-    a = ply_io.read_ply_xyz(args.cloud)
-    b = ply_io.read_ply_xyz(args.reference)
+    # read_ext_ply handles both ASCII and binary bodies (the pipeline's
+    # --light_output artifacts are binary)
+    a = np.asarray(ply_io.read_ext_ply(args.cloud)["xyz"], dtype=np.float64)
+    b = np.asarray(ply_io.read_ext_ply(args.reference)["xyz"],
+                   dtype=np.float64)
+    d_ab = _nn_dists(a, b)
+    d_ba = _nn_dists(b, a)
     print(json.dumps({
         "n_cloud": int(len(a)), "n_reference": int(len(b)),
-        "accuracy_mean": float(np.mean(_nn_dists(a, b))),
-        "accuracy_median": float(np.median(_nn_dists(a, b))),
-        "completeness": completeness(a, b, tol=args.tau),
-        "chamfer": chamfer(a, b),
+        "accuracy_mean": float(np.mean(d_ab)),
+        "accuracy_median": float(np.median(d_ab)),
+        "completeness": float((d_ba < args.tau).mean()),
+        "chamfer": float(d_ab.mean() + d_ba.mean()),
     }))
     return 0
 

@@ -197,25 +197,17 @@ def sample_views_batch(ctx, opt: Options, center, normal, scale, views, ws,
         gy = jnp.clip(gy, 0.0, W - 1.0)
         win5 = (ws.to_win5() if isinstance(ws, win_ops.WinTState)
                 else ws.win)
-        tex = win_ops.hat_sample(win5, gx, gy)
+        tex = sampling.normalize_tex(win_ops.hat_sample(win5, gx, gy))
         if layout == "kcpb":
-            tex = jnp.transpose(sampling.normalize_tex(tex), (1, 3, 2, 0))
-            if with_color:
-                gxc = jnp.clip(tl[..., 0] + CHALF * (dx[..., 0] + dy[..., 0]),
-                               0.0, W - 1.0)[..., None]
-                gyc = jnp.clip(tl[..., 1] + CHALF * (dx[..., 1] + dy[..., 1]),
-                               0.0, W - 1.0)[..., None]
-                col = win_ops.hat_sample(win5, gxc, gyc)[..., 0, :]
-                return tex, valid, col
-            return tex, valid
+            tex = jnp.transpose(tex, (1, 3, 2, 0))
         if with_color:
             gxc = jnp.clip(tl[..., 0] + CHALF * (dx[..., 0] + dy[..., 0]),
                            0.0, W - 1.0)[..., None]
             gyc = jnp.clip(tl[..., 1] + CHALF * (dx[..., 1] + dy[..., 1]),
                            0.0, W - 1.0)[..., None]
             col = win_ops.hat_sample(win5, gxc, gyc)[..., 0, :]
-            return sampling.normalize_tex(tex), valid, col
-        return sampling.normalize_tex(tex), valid
+            return tex, valid, col
+        return tex, valid
 
     geom = jnp.concatenate([tl, dx, dy], axis=-1)        # (B, K, 6)
     pad = (-B) % NB

@@ -34,7 +34,9 @@ PATCH_SIZE = sampling.PATCH_SIZE
 
 
 class WindowState(NamedTuple):
-    win: jnp.ndarray    # (..., W, W, 3) float32 pixel windows
+    win: jnp.ndarray    # (..., W, W, 3) pixel windows -- f32 on the CPU
+                        # fallback, bf16 from the TPU DMA kernel (uint8-exact;
+                        # raw (N, W, 128) with fetch_windows(keep_raw=True))
     ox: jnp.ndarray     # (...,) int32 window origin x (global, at `level`)
     oy: jnp.ndarray     # (...,) int32 window origin y
     level: jnp.ndarray  # (...,) int32 pyramid level the window was cut at

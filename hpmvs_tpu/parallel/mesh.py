@@ -50,7 +50,10 @@ def init_distributed(coordinator: Optional[str] = None,
     explicit = coordinator is not None
     auto = any(k in os.environ for k in
                ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                "MEGASCALE_COORDINATOR_ADDRESS"))
+                "MEGASCALE_COORDINATOR_ADDRESS",
+                # TPU pod-slice launchers set these; initialize() with no
+                # args then auto-detects the cluster
+                "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID"))
     if explicit or auto:
         kw = {}
         if explicit:
