@@ -146,6 +146,28 @@ def sharded_optimize(mesh: Mesh, ctx: popt.SceneCtx, opt: Options):
     return jax.jit(fn), mesh.devices.size
 
 
+def sharded_optimize_and_gate(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
+                              pack: depth_mod.DepthPack, n_images: int):
+    """Jitted fused extend-candidate compute sharded over the mesh: optimize
+    + every CellProcessor::extend acceptance gate in one dispatch per shard
+    (the multi-chip twin of optimizer.optimize_and_gate; depth pack
+    replicated). Batch must be a multiple of the mesh size."""
+    def body(c, n, s, v, pc, w, depth):
+        local = pack._replace(depth=depth)
+        return popt.optimize_and_gate.__wrapped__(
+            ctx, local, opt, n_images, c, n, s, v, pc, w)
+
+    spec = P(("dp", "sp"))
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec, spec, spec, P()),
+                   out_specs=(spec,) * 6,
+                   check_vma=False)
+    # depth is passed per call (the engine's z-buffer advances every batch);
+    # the pack's static tables are closed over -- rebuild this fn if the
+    # scene grows (Engine.refresh_host_caches does)
+    return jax.jit(fn), mesh.devices.size
+
+
 def halo_exchange(mesh: Mesh, block_of: jnp.ndarray, payload: jnp.ndarray,
                   n_blocks: int, slots: int):
     """Padded all_to_all border-patch migration (replaces

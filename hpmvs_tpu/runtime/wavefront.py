@@ -66,6 +66,7 @@ class Engine:
         self.model = model
         self.mesh = mesh          # jax.sharding.Mesh -> sharded optimize
         self._sharded_fn = None
+        self._sharded_gate_fn = None
         self.scene = scene_mod.build_scene(model, opt, images=images,
                                            visdata_path=visdata_path)
         self.pack = depth_mod.build_depth_pack(
@@ -84,6 +85,9 @@ class Engine:
         self.cam_center_np = np.asarray(self.scene.ctx.cams.center)
         self.cam_xaxis_np = np.asarray(self.scene.ctx.cams.xaxis)
         self.cam_fsum_np = np.asarray(self.scene.ctx.cams.fsum)
+        # sharded closures capture scene/pack tables: rebuild after growth
+        self._sharded_fn = None
+        self._sharded_gate_fn = None
 
     # ------------------------------------------------------------------
     # plumbing
@@ -181,17 +185,29 @@ class Engine:
             return tuple(np.concatenate([o[j] for o in outs])
                          for j in range(6))
         b = min(_bucket(n), cap)
+        if self.mesh is not None:
+            ms = int(self.mesh.devices.size)
+            b = -(-b // ms) * ms
 
         def pad(a, fill=0.0):
             out = np.full((b,) + a.shape[1:], fill, a.dtype)
             out[:n] = a
             return out
 
-        res = popt.optimize_and_gate(
-            self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
-            jnp.asarray(pad(centers)), jnp.asarray(pad(normals)),
-            jnp.asarray(pad(scales)), jnp.asarray(pad(views, -1)),
-            jnp.asarray(pad(parent_c)), jnp.asarray(pad(widths, 1.0)))
+        args = (jnp.asarray(pad(centers)), jnp.asarray(pad(normals)),
+                jnp.asarray(pad(scales)), jnp.asarray(pad(views, -1)),
+                jnp.asarray(pad(parent_c)), jnp.asarray(pad(widths, 1.0)))
+        if self.mesh is not None:
+            if self._sharded_gate_fn is None:
+                from hpmvs_tpu.parallel import mesh as pmesh
+                self._sharded_gate_fn, _ = pmesh.sharded_optimize_and_gate(
+                    self.mesh, self.scene.ctx, self.opt, self.pack,
+                    self.scene.n_cameras)
+            res = self._sharded_gate_fn(*args, self.pack.depth)
+        else:
+            res = popt.optimize_and_gate(
+                self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
+                *args)
         res = jax.device_get(res)
         self.stats["patches_optimized"] += n
         return tuple(np.array(x)[:n] for x in res)
@@ -452,23 +468,9 @@ class Engine:
         v_in = views[src[sel]]
 
         w_src = widths[src[sel]].astype(np.float32)
-        if self.mesh is None:
-            oc, on, os_, ov, ok, col = self._extend_compute(
-                c_in, n_in, s_in, v_in, centers[src[sel]].astype(np.float32),
-                w_src)
-        else:
-            oc, on, os_, ov, ok, col, _ = self._optimize(c_in, n_in, s_in,
-                                                         v_in)
-            ok &= (os_ * 2.0 < w_src) & (os_ * 2.0 > w_src / 2.0)
-            ok &= np.linalg.norm(oc - centers[src[sel]], axis=1) \
-                < w_src * opt.EXTEND_DRIFT
-            if ok.any():
-                dt, vb, pf = self._geom_gates(oc, on, os_, ov)
-                nv = (ov >= 0).sum(1)
-                ok &= dt >= opt.MIN_IMAGES_PER_PATCH
-                ok &= vb < opt.MIN_IMAGES_PER_PATCH
-                ok &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
-                    & (pf * 1.0 / np.maximum(nv, 1) > 0.75)
+        oc, on, os_, ov, ok, col = self._extend_compute(
+            c_in, n_in, s_in, v_in, centers[src[sel]].astype(np.float32),
+            w_src)
 
         # addConditional at the *optimized* position (CellProcessor.cpp:154)
         inside2 = self.tree.contains(oc)
