@@ -23,7 +23,6 @@ Everything compiles under jit over the mesh; collectives ride ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -105,9 +104,9 @@ def sharded_optimize_step(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
     subsample = opt.DEPTH_SUBSAMPLE
 
     def body(c, n, s, v, depth):
-        # local shard: full batched optimize pipeline
-        run = functools.partial(popt._run_one, ctx, opt)
-        oc, on, os_, ov, ok, col, _ = jax.vmap(run)(c, n, s, v)
+        # local shard: full batched optimize pipeline (batched stages +
+        # Pallas kernels on TPU -- the same fast path as single-chip)
+        oc, on, os_, ov, ok, col, _ = popt._optimize_all(ctx, opt, c, n, s, v)
 
         # local depth update for accepted patches (masked views)
         v_ok = jnp.where(ok[:, None], ov, -1)
@@ -133,10 +132,12 @@ def sharded_optimize_step(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
 def sharded_optimize(mesh: Mesh, ctx: popt.SceneCtx, opt: Options):
     """Jitted patch-batch optimize sharded over the mesh (no depth update;
     the wavefront engine applies depth writes after its gates). Batch must be
-    a multiple of the mesh size."""
+    a multiple of the mesh size. Each shard runs the SAME fast batched
+    pipeline as single-chip (_optimize_all: batched stages + Pallas kernels
+    on TPU) -- the reference likewise has one optimizer for all phases
+    (PatchOptimizer.cpp:78)."""
     def body(c, n, s, v):
-        run = functools.partial(popt._run_one, ctx, opt)
-        return jax.vmap(run)(c, n, s, v)
+        return popt._optimize_all(ctx, opt, c, n, s, v)
 
     spec = P(("dp", "sp"))
     fn = shard_map(body, mesh=mesh,
