@@ -63,6 +63,11 @@ def main(argv=None) -> int:
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace of the main loop to "
                          "this directory (view with tensorboard/xprof)")
+    ap.add_argument("--spatial", action="store_true",
+                    help="shard the octree into Morton blocks across the "
+                         "device mesh with halo border migration (the "
+                         "getSubTrees + border-queue analog); requires >1 "
+                         "device")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -104,7 +109,8 @@ def main(argv=None) -> int:
                                        light_output=args.light_output,
                                        bundle_adjust=args.ba,
                                        snapshot_hook=snapshot_hook,
-                                       resume=args.resume)
+                                       resume=args.resume,
+                                       spatial=args.spatial)
     finally:
         if args.profile:
             import jax

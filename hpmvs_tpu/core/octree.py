@@ -56,7 +56,7 @@ class PatchStore:
     include/hpmvs/Patch3d.h:33-83)."""
 
     FIELDS = ("center", "normal", "scale", "views", "color", "flatness",
-              "expanded", "prio_red", "alive", "cell")
+              "expanded", "prio_red", "alive", "cell", "dirty")
 
     def __init__(self, max_views: int, cap: int = 1024):
         self.K = max_views
@@ -72,6 +72,9 @@ class PatchStore:
         self.prio_red = np.zeros((cap,), np.int32)
         self.alive = np.zeros((cap,), bool)
         self.cell = np.full((cap,), -1, np.int64)
+        # Patch3d::dirty_ (Patch3d.h:68): set on border arrivals so resume
+        # re-queues them even when already expanded (CellProcessor.cpp:443)
+        self.dirty = np.zeros((cap,), bool)
 
     def _grow(self, need: int):
         while self._cap < need:
@@ -84,7 +87,8 @@ class PatchStore:
             b[:a.shape[0]] = a
             setattr(self, f, b)
         for f, fill in (("scale", 0), ("flatness", -1.0), ("expanded", False),
-                        ("prio_red", 0), ("alive", False), ("cell", -1)):
+                        ("prio_red", 0), ("alive", False), ("cell", -1),
+                        ("dirty", False)):
             a = getattr(self, f)
             b = np.full((self._cap,), fill, a.dtype)
             b[:a.shape[0]] = a
@@ -100,6 +104,7 @@ class PatchStore:
         self.expanded[ids] = False
         self.prio_red[ids] = 0
         self.cell[ids] = -1
+        self.dirty[ids] = False
         return ids
 
     def free(self, ids: np.ndarray):

@@ -169,60 +169,61 @@ def sharded_optimize_and_gate(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
     return jax.jit(fn), mesh.devices.size
 
 
-def halo_exchange(mesh: Mesh, block_of: jnp.ndarray, payload: jnp.ndarray,
-                  n_blocks: int, slots: int):
-    """Padded all_to_all border-patch migration (replaces
+def make_halo_exchange(mesh: Mesh, n_blocks: int, slots: int):
+    """Build the jitted border-patch migration collective (replaces
     distributeBorderCell, CellProcessor.cpp:533-540).
 
-    block_of: (B,) destination block id per patch (-1 = stays local);
-    payload: (B, D) patch record. Each device keeps up to `slots` incoming
-    patches per source device. Returns (recv_payload (n_shards*slots, D),
-    recv_valid) per device, jitted over the mesh along 'sp'.
+    The returned fn(block_of, payload) takes, per device, its shard of
+      block_of: (B,) destination block id per patch (-1 = stays local);
+      payload:  (B, D) patch record
+    and returns (recv_payload (n_shards*slots, D), recv_valid, n_dropped):
+    each device receives up to `slots` incoming patches per source device;
+    overflow beyond `slots` is counted in n_dropped (psum over the mesh) so
+    callers can retry with more slots. Packing is vectorized (sort by
+    destination + one scatter), O(B log B) per shard -- no serial loop.
+    Blocks map to shards by identity modulo the mesh size.
     """
     n_shards = mesh.devices.size
 
     def body(blk, pay):
-        me = jax.lax.axis_index("sp") * jax.lax.axis_size("dp") \
-            + jax.lax.axis_index("dp")
-        # bucket outgoing patches by destination shard (block -> shard)
-        dest = jnp.where(blk >= 0, blk % n_shards, -1)
-        send = jnp.full((n_shards, slots) + pay.shape[1:], 0.0, pay.dtype)
-        send_valid = jnp.zeros((n_shards, slots), dtype=bool)
+        B = blk.shape[0]
+        # group outgoing patches by destination shard; invalid -> n_shards
+        dest = jnp.where(blk >= 0, blk % n_shards, n_shards)
+        order = jnp.argsort(dest, stable=True)
+        sd = dest[order]
+        # slot of each row within its destination group
+        starts = jnp.searchsorted(sd, jnp.arange(n_shards + 1))
+        slot = jnp.arange(B) - starts[jnp.minimum(sd, n_shards)]
+        valid = (sd < n_shards) & (slot < slots)
+        dropped = jnp.sum((sd < n_shards) & (slot >= slots))
+        # one scatter into (dest, slot); invalid rows land in the dump
+        # row/column that the final slice cuts away
+        d_idx = jnp.where(valid, sd, n_shards)
+        s_idx = jnp.where(valid, slot, slots)
+        send = jnp.zeros((n_shards + 1, slots + 1) + pay.shape[1:], pay.dtype)
+        send = send.at[d_idx, s_idx].set(pay[order])[:n_shards, :slots]
+        send_valid = jnp.zeros((n_shards + 1, slots + 1), bool)
+        send_valid = send_valid.at[d_idx, s_idx].set(valid)[:n_shards, :slots]
 
-        def place(i, state):
-            send, send_valid, fill = state
-            d = dest[i]
-            ok = d >= 0
-            slot = jnp.where(ok, fill[jnp.maximum(d, 0)], 0)
-            can = ok & (slot < slots)
-            send = jax.lax.cond(
-                can,
-                lambda s: s.at[jnp.maximum(d, 0), slot].set(pay[i]),
-                lambda s: s, send)
-            send_valid = jax.lax.cond(
-                can,
-                lambda s: s.at[jnp.maximum(d, 0), slot].set(True),
-                lambda s: s, send_valid)
-            fill = jax.lax.cond(
-                can,
-                lambda f: f.at[jnp.maximum(d, 0)].add(1),
-                lambda f: f, fill)
-            return send, send_valid, fill
-
-        fill0 = jnp.zeros((n_shards,), jnp.int32)
-        send, send_valid, _ = jax.lax.fori_loop(0, pay.shape[0], place,
-                                                (send, send_valid, fill0))
         recv = jax.lax.all_to_all(send, ("dp", "sp"), 0, 0, tiled=False)
         recv_valid = jax.lax.all_to_all(send_valid, ("dp", "sp"), 0, 0,
                                         tiled=False)
-        del me
         return (recv.reshape((n_shards * slots,) + pay.shape[1:]),
-                recv_valid.reshape((n_shards * slots,)))
+                recv_valid.reshape((n_shards * slots,)),
+                jax.lax.psum(dropped, ("dp", "sp")))
 
     spec = P(("dp", "sp"))
     fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
-                   out_specs=(spec, spec), check_vma=False)
-    return jax.jit(fn)(block_of, payload)
+                   out_specs=(spec, spec, P()), check_vma=False)
+    return jax.jit(fn)
+
+
+def halo_exchange(mesh: Mesh, block_of: jnp.ndarray, payload: jnp.ndarray,
+                  n_blocks: int, slots: int):
+    """One-shot convenience wrapper around make_halo_exchange (callers with
+    a steady shape should build + cache the fn instead)."""
+    out = make_halo_exchange(mesh, n_blocks, slots)(block_of, payload)
+    return out[0], out[1]
 
 
 def have_work_psum(mesh: Mesh, local_counts: jnp.ndarray) -> int:

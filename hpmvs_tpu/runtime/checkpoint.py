@@ -37,6 +37,7 @@ def save_checkpoint(engine, path: str) -> None:
         patch_color=p.color[:n], patch_flatness=p.flatness[:n],
         patch_expanded=p.expanded[:n], patch_prio_red=p.prio_red[:n],
         patch_alive=p.alive[:n], patch_cell=p.cell[:n],
+        patch_dirty=p.dirty[:n],
         tree_center=t.center, tree_width=np.asarray([t.width]),
         tree_max_level=np.asarray([t.max_level]),
         tree_level=t.level[:t.n], tree_key=t.key[:t.n],
@@ -68,6 +69,8 @@ def load_checkpoint(engine, path: str) -> None:
     p.prio_red[:n] = z["patch_prio_red"]
     p.alive[:n] = z["patch_alive"]
     p.cell[:n] = z["patch_cell"]
+    # dirty absent in round-1 checkpoints: default False
+    p.dirty[:n] = z["patch_dirty"] if "patch_dirty" in z else False
 
     tree = LinearOctree(z["tree_center"], float(z["tree_width"][0]),
                         int(z["tree_max_level"][0]))
@@ -101,7 +104,9 @@ def load_checkpoint(engine, path: str) -> None:
 def requeue_from_tree(engine, skip_clean: bool = True) -> int:
     """CellProcessor::initFromTree (CellProcessor.cpp:422-455): rebuild the
     priority queues from the populated tree, optionally skipping cells whose
-    single patch is already expanded (the resume path). Returns #queued."""
+    single patch is already expanded AND not dirty (skip_clean skips only
+    `expanded_ && !dirty_`, CellProcessor.cpp:443 -- border arrivals are
+    marked dirty and therefore re-queued). Returns #queued."""
     engine.queue.clear()
     t = engine.tree
     queued = 0
@@ -110,7 +115,8 @@ def requeue_from_tree(engine, skip_clean: bool = True) -> int:
         if not plist:
             continue
         if (skip_clean and len(plist) == 1
-                and engine.patches.expanded[plist[0]]):
+                and engine.patches.expanded[plist[0]]
+                and not engine.patches.dirty[plist[0]]):
             continue
         level = int(t.level[cid])
         engine._push(level * 10, int(cid))

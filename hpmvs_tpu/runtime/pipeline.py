@@ -44,7 +44,7 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
         more_output: bool = False, light_output: int = 0,
         snapshot_hook=None, max_prio: Optional[int] = None,
         bundle_adjust: bool = False, resume: Optional[str] = None,
-        mesh="auto") -> Engine:
+        mesh="auto", spatial: bool = False) -> Engine:
     """Progressive densification main loop (main.cpp:145-202).
 
     bundle_adjust: refine cameras + sparse points by Schur-complement BA
@@ -52,7 +52,10 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     mesh: a jax.sharding.Mesh to shard wavefront batches over, None for
     single-device, or "auto" (default): build a mesh over all local devices
     when more than one is visible (the OpenMP-over-subtrees analog,
-    main.cpp:127-139)."""
+    main.cpp:127-139).
+    spatial: partition the octree into Morton blocks on the mesh with halo
+    border migration (the getSubTrees + border-queue analog, main.cpp:50-96,
+    CellProcessor.cpp:487-540) instead of flat batch sharding."""
     if mesh == "auto":
         import jax
         mesh = None
@@ -74,9 +77,15 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
         model = ba.apply_to_model(model, np.asarray(cam), np.asarray(pts))
     # PMVS-style VISDATA debug dump, like the reference's always-written
     # /tmp/testvis.dat (Scene.cpp:243,279) but into the output folder
-    engine = Engine(model, opt, images=images,
-                    visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"),
-                    mesh=mesh)
+    cls = Engine
+    if spatial:
+        if mesh is None:
+            raise ValueError("spatial=True requires a device mesh")
+        from hpmvs_tpu.runtime.spatial import SpatialEngine
+        cls = SpatialEngine
+    engine = cls(model, opt, images=images,
+                 visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"),
+                 mesh=mesh)
     if resume:
         from hpmvs_tpu.runtime import checkpoint as ckpt
         ckpt.load_checkpoint(engine, resume)

@@ -136,8 +136,17 @@ class Engine:
             out[:n] = a
             return out
 
-        args = (jnp.asarray(pad(centers)), jnp.asarray(pad(normals)),
-                jnp.asarray(pad(scales)), jnp.asarray(pad(views, -1)))
+        res = self._call_optimize(pad(centers), pad(normals), pad(scales),
+                                  pad(views, -1))
+        self.stats["patches_optimized"] += n
+        return tuple(x[:n] for x in res)
+
+    def _call_optimize(self, centers, normals, scales, views):
+        """Raw device dispatch of the batched optimizer on an already
+        padded/shaped batch. Returns 7 writable np arrays of full length."""
+        import jax
+        args = (jnp.asarray(centers), jnp.asarray(normals),
+                jnp.asarray(scales), jnp.asarray(views))
         if self.mesh is not None:
             if self._sharded_fn is None:
                 from hpmvs_tpu.parallel import mesh as pmesh
@@ -146,11 +155,8 @@ class Engine:
             res = self._sharded_fn(*args)
         else:
             res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
-        import jax
         res = jax.device_get(res)  # one transfer for all outputs
-        c, nn, s, v, ok, col, resid = (np.array(x) for x in res)  # writable
-        self.stats["patches_optimized"] += n
-        return (c[:n], nn[:n], s[:n], v[:n], ok[:n], col[:n], resid[:n])
+        return tuple(np.array(x) for x in res)  # writable
 
     def _set_depths(self, pids: np.ndarray, subtract: bool = False):
         if len(pids) == 0:
@@ -172,7 +178,6 @@ class Engine:
                         widths):
         """Fused optimize + extend gates (one device call), bucketed/chunked
         like _optimize."""
-        import jax
         n = centers.shape[0]
         cap = max(self.opt.BATCH, 16)
         if n > cap:
@@ -194,9 +199,20 @@ class Engine:
             out[:n] = a
             return out
 
-        args = (jnp.asarray(pad(centers)), jnp.asarray(pad(normals)),
-                jnp.asarray(pad(scales)), jnp.asarray(pad(views, -1)),
-                jnp.asarray(pad(parent_c)), jnp.asarray(pad(widths, 1.0)))
+        res = self._call_extend(pad(centers), pad(normals), pad(scales),
+                                pad(views, -1), pad(parent_c),
+                                pad(widths, 1.0))
+        self.stats["patches_optimized"] += n
+        return tuple(x[:n] for x in res)
+
+    def _call_extend(self, centers, normals, scales, views, parent_c,
+                     widths):
+        """Raw device dispatch of the fused optimize+gate step on an already
+        padded/shaped batch. Returns 6 writable np arrays of full length."""
+        import jax
+        args = (jnp.asarray(centers), jnp.asarray(normals),
+                jnp.asarray(scales), jnp.asarray(views),
+                jnp.asarray(parent_c), jnp.asarray(widths))
         if self.mesh is not None:
             if self._sharded_gate_fn is None:
                 from hpmvs_tpu.parallel import mesh as pmesh
@@ -209,8 +225,7 @@ class Engine:
                 self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
                 *args)
         res = jax.device_get(res)
-        self.stats["patches_optimized"] += n
-        return tuple(np.array(x)[:n] for x in res)
+        return tuple(np.array(x) for x in res)
 
     def _geom_gates(self, centers, normals, scales, views):
         """Batched depthTests / viewBlockTest / pixelFreeTests for extend
@@ -472,51 +487,76 @@ class Engine:
             c_in, n_in, s_in, v_in, centers[src[sel]].astype(np.float32),
             w_src)
 
-        # addConditional at the *optimized* position (CellProcessor.cpp:154)
-        inside2 = self.tree.contains(oc)
-        occ2 = self.tree.containing_cell(oc) >= 0
-        finer2 = self.tree.structure_level(oc) > levels[src[sel]]
-        ok &= inside2 & ~occ2 & ~finer2
-        if ok.any():
-            lv_t = levels[src[sel]]
-            keys = np.zeros(len(oc), np.uint64)
-            for L in np.unique(lv_t[ok]):
-                m = ok & (lv_t == L)
-                keys[m] = self.tree.key_at(oc[m], int(L))
-            # first-wins dedup within the batch (deterministic stand-in for
-            # the reference's sequential addConditional)
-            pair = np.stack([lv_t.astype(np.uint64), keys])
-            _, first_idx = np.unique(pair, axis=1, return_index=True)
-            winner = np.zeros(len(oc), bool)
-            winner[first_idx] = True
-            ok &= winner
-
-        acc = np.nonzero(ok)[0]
-        if len(acc):
-            lv_t = levels[src[sel[acc]]]
-            new_cids = self.tree.alloc_cells(lv_t.astype(np.int8), keys[acc])
-            new_pids = self.patches.alloc(len(acc))
-            self.patches.center[new_pids] = oc[acc]
-            self.patches.normal[new_pids] = on[acc]
-            self.patches.scale[new_pids] = os_[acc]
-            self.patches.views[new_pids] = ov[acc]
-            self.patches.color[new_pids] = col[acc]
-            self.patches.flatness[new_pids] = -1.0
-            self.patches.expanded[new_pids] = False
-            self.patches.prio_red[new_pids] = prio_red[src[sel[acc]]]
-            for i, pid in enumerate(new_pids):
-                self._insert_patch(int(pid), int(new_cids[i]))
-            self._set_depths(new_pids)
-            for i, cid in enumerate(new_cids):
-                pr = (int(lv_t[i]) + int(prio_red[src[sel[acc[i]]]])) * 10
-                self._push(pr, int(cid))
-            self.stats["extended"] += len(acc)
+        n_ins = self._route_extend(oc, on, os_, ov, ok, col,
+                                   levels[src[sel]], prio_red[src[sel]],
+                                   cids[src[sel]])
+        self.stats["extended"] += n_ins
 
         self._finish_extend(cids, pids, levels, prio_red)
 
+    def _route_extend(self, oc, on, os_, ov, ok, col, lv_t, prio_red,
+                      src_cids) -> int:
+        """Insert the gated extend candidates. Single-tree engine: all
+        candidates are local (the spatial engine overrides this to migrate
+        cross-block candidates through the halo collective -- the
+        distributeBorderCell analog, CellProcessor.cpp:487-540)."""
+        del src_cids
+        return self._insert_new_patches(oc, on, os_, ov, ok, col, lv_t,
+                                        prio_red)
+
+    def _insert_new_patches(self, oc, on, os_, ov, ok, col, lv_t, prio_red,
+                            flatness: float = -1.0,
+                            dirty: bool = False) -> int:
+        """addConditional + insertion of new gated patches (extend results or
+        migrated border arrivals): the target leaf must be inside the root,
+        empty and not finer (doctree.h:396-419), with a deterministic
+        first-wins dedup within the batch standing in for the reference's
+        sequential arrival order. Accepted patches alloc a cell + patch row,
+        scatter into the depth buffers and queue at (level+prio_red)*10."""
+        # addConditional at the *optimized* position (CellProcessor.cpp:154)
+        ok = ok & self.tree.contains(oc)
+        ok &= self.tree.containing_cell(oc) < 0
+        ok &= self.tree.structure_level(oc) <= lv_t
+        keys = np.zeros(len(oc), np.uint64)
+        idx_ok = np.nonzero(ok)[0]
+        if len(idx_ok):
+            for L in np.unique(lv_t[idx_ok]):
+                m = ok & (lv_t == L)
+                keys[m] = self.tree.key_at(oc[m], int(L))
+            pair = np.stack([lv_t[idx_ok].astype(np.uint64), keys[idx_ok]])
+            _, first_idx = np.unique(pair, axis=1, return_index=True)
+            winner = np.zeros(len(oc), bool)
+            winner[idx_ok[first_idx]] = True
+            ok &= winner
+
+        acc = np.nonzero(ok)[0]
+        if len(acc) == 0:
+            return 0
+        lv_a = lv_t[acc]
+        pr_a = prio_red[acc]
+        new_cids = self.tree.alloc_cells(lv_a.astype(np.int8), keys[acc])
+        new_pids = self.patches.alloc(len(acc))
+        self.patches.center[new_pids] = oc[acc]
+        self.patches.normal[new_pids] = on[acc]
+        self.patches.scale[new_pids] = os_[acc]
+        self.patches.views[new_pids] = ov[acc]
+        self.patches.color[new_pids] = col[acc]
+        self.patches.flatness[new_pids] = flatness
+        self.patches.expanded[new_pids] = False
+        self.patches.prio_red[new_pids] = pr_a
+        self.patches.dirty[new_pids] = dirty
+        for i, pid in enumerate(new_pids):
+            self._insert_patch(int(pid), int(new_cids[i]))
+        self._set_depths(new_pids)
+        for i, cid in enumerate(new_cids):
+            self._push((int(lv_a[i]) + int(pr_a[i])) * 10, int(cid))
+        return len(acc)
+
     def _finish_extend(self, cids, pids, levels, prio_red):
-        """Mark expanded + requeue at phase 1 (CellProcessor.cpp:380-387)."""
+        """Mark expanded + requeue at phase 1 (CellProcessor.cpp:380-387).
+        Processing clears the dirty flag set by border arrivals."""
         self.patches.expanded[pids] = True
+        self.patches.dirty[pids] = False
         for i, cid in enumerate(cids):
             self._push((int(levels[i]) + int(prio_red[i])) * 10 + 1, int(cid))
 

@@ -1,0 +1,114 @@
+"""SpatialEngine: octree-block sharding + halo border migration.
+
+Verifies the TPU-native equivalent of the reference's subtree decomposition
+(main.cpp:50-96) and border-patch queues (CellProcessor.cpp:487-540): an
+8-virtual-device spatially-sharded reconstruction must be statistically
+identical to the single-device run, with real migration traffic."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from hpmvs_tpu.config import Options
+from hpmvs_tpu.runtime import pipeline
+from hpmvs_tpu.parallel import mesh as pmesh
+
+
+def _opts(outdir):
+    return dataclasses.replace(Options(), START_LEVEL=2, MAXLEVEL=4,
+                               OUTFOLDER=str(outdir), COVIS_MIN_POINTS=10,
+                               MAX_TREE_LEVEL=8)
+
+
+@pytest.fixture(scope="module")
+def runs(plane_scene, tmp_path_factory):
+    opt1 = _opts(tmp_path_factory.mktemp("single"))
+    single = pipeline.run(plane_scene.model, opt1,
+                          images=plane_scene.images, mesh=None, max_prio=60)
+    opt8 = _opts(tmp_path_factory.mktemp("spatial"))
+    mesh = pmesh.make_mesh(8)
+    spatial = pipeline.run(plane_scene.model, opt8,
+                           images=plane_scene.images, mesh=mesh,
+                           spatial=True, max_prio=60)
+    return single, spatial
+
+
+def test_block_partition_covers(runs, plane_scene):
+    """Every point in the root cube maps to exactly one block in range."""
+    _, spatial = runs
+    rng = np.random.default_rng(0)
+    t = spatial.tree
+    pts = (t.center + (rng.random((500, 3)) - 0.5) * t.width * 0.999)
+    blk = spatial.block_of_points(pts)
+    assert blk.min() >= 0 and blk.max() < spatial.n_blocks
+    assert len(np.unique(blk)) > 1  # the partition is a real split
+    # cell blocks agree with their center's block
+    cids = np.nonzero(t.alive[:t.n])[0][:200]
+    centers, _ = t.cell_center_width(cids)
+    np.testing.assert_array_equal(spatial.block_of_cells(cids),
+                                  spatial.block_of_points(centers))
+
+
+def test_spatial_parity_with_single_device(runs, plane_scene):
+    """Statistically identical output: patch count within 5% and equal plane
+    quality. The residual count jitter is order-sensitivity, not loss
+    (SURVEY.md section 7 'hard parts': parity is statistical, not bitwise):
+    block-major batch layouts flip XLA reduction order, so near-threshold
+    NCC gates flip either way (+1.2% on a 256px scene, -4.3% here), and
+    migrated arrivals skip regularization per reference border semantics
+    (CellProcessor.cpp:513-514)."""
+    single, spatial = runs
+    n1, n8 = single.n_alive(), spatial.n_alive()
+    assert abs(n8 - n1) <= 0.05 * n1, (n1, n8)
+
+    z = plane_scene.plane_z
+    d1 = np.abs(single.alive_arrays()[0][:, 2] - z)
+    d8 = np.abs(spatial.alive_arrays()[0][:, 2] - z)
+    rms1 = float(np.sqrt((d1 ** 2).mean()))
+    rms8 = float(np.sqrt((d8 ** 2).mean()))
+    assert rms8 <= rms1 * 1.1 + 1e-4, (rms1, rms8)
+
+    # the level histograms match (coarse-to-fine structure preserved)
+    h1, h8 = single.tree.histogram(), spatial.tree.histogram()
+    L = max(len(h1), len(h8))
+    h1 = np.pad(h1, (0, L - len(h1)))
+    h8 = np.pad(h8, (0, L - len(h8)))
+    assert (np.abs(h8 - h1) <= np.maximum(0.05 * h1, 5)).all(), (h1, h8)
+
+
+def test_migration_happened(runs):
+    """Cross-block extend candidates actually travel through the halo
+    collective (migrated > 0) and nothing is silently dropped."""
+    _, spatial = runs
+    assert spatial.stats["migrated"] > 0
+    assert spatial.stats["halo_dropped"] == 0
+    # block-major layout really ran (pad accounting present)
+    assert spatial.stats["block_work_lanes"] > 0
+
+
+def test_arrival_dirty_flat_and_requeue(runs):
+    """Border arrivals insert with flatness_=0 + dirty_=true
+    (insertBorderCell, CellProcessor.cpp:513-514), processing clears dirty,
+    and initFromTree(skip_clean) re-queues dirty-but-expanded cells
+    (CellProcessor.cpp:443)."""
+    from hpmvs_tpu.runtime import checkpoint as ckpt
+    _, eng = runs
+    p = eng.patches
+    live = np.nonzero(p.alive[:p.n])[0]
+    # migration happened (test_migration_happened) and the run completed:
+    # every arrival was processed, so no live patch stays dirty
+    assert not p.dirty[:p.n][live].any()
+
+    # make one patch expanded (clean -> skipped by initFromTree), then mark
+    # it dirty (a freshly arrived border patch on an interrupted run) ->
+    # requeue_from_tree must queue it again
+    victim = live[0]
+    was = bool(p.expanded[victim])
+    p.expanded[victim] = True
+    queued_clean = ckpt.requeue_from_tree(eng, skip_clean=True)
+    p.dirty[victim] = True
+    queued_dirty = ckpt.requeue_from_tree(eng, skip_clean=True)
+    assert queued_dirty == queued_clean + 1
+    p.dirty[victim] = False
+    p.expanded[victim] = was
