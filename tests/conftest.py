@@ -22,6 +22,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: end-to-end pipeline/scene tests (~40-90 s each). The quick "
+        "development run is `pytest -m 'not slow'` (< 5 min); CI / the "
+        "driver run the full suite.")
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _clear_jax_caches():
     """Drop compiled executables between test modules.

@@ -9,6 +9,8 @@ from hpmvs_tpu.parallel import mesh as pmesh
 from hpmvs_tpu.runtime.wavefront import Engine
 from hpmvs_tpu.testing import make_plane_scene
 
+pytestmark = pytest.mark.slow  # e2e scene test; quick run: pytest -m 'not slow'
+
 
 def test_eval_metrics():
     rng = np.random.default_rng(0)

@@ -7,6 +7,8 @@ from hpmvs_tpu.config import Options
 from hpmvs_tpu.runtime import pipeline
 from hpmvs_tpu.testing import make_occlusion_scene
 
+pytestmark = pytest.mark.slow  # e2e scene test; quick run: pytest -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def occ_run(tmp_path_factory):

@@ -9,6 +9,8 @@ from hpmvs_tpu.io import nvm as nvm_io, ply as ply_io
 from hpmvs_tpu.runtime import pipeline
 from hpmvs_tpu.testing import make_plane_scene
 
+pytestmark = pytest.mark.slow  # e2e scene test; quick run: pytest -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def small_run(tmp_path_factory):

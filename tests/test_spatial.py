@@ -14,6 +14,8 @@ from hpmvs_tpu.config import Options
 from hpmvs_tpu.runtime import pipeline
 from hpmvs_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.slow  # e2e scene test; quick run: pytest -m 'not slow'
+
 
 def _opts(outdir):
     return dataclasses.replace(Options(), START_LEVEL=2, MAXLEVEL=4,

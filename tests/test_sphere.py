@@ -7,11 +7,14 @@ import dataclasses
 import os
 
 import numpy as np
+import pytest
 
 from hpmvs_tpu.config import Options
 from hpmvs_tpu.runtime import pipeline
 from hpmvs_tpu.io import ply as ply_io
 from hpmvs_tpu.testing import make_sphere_scene
+
+pytestmark = pytest.mark.slow  # e2e scene test; quick run: pytest -m 'not slow'
 
 
 def test_sphere_reconstruction(tmp_path):

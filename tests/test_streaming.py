@@ -8,6 +8,8 @@ from hpmvs_tpu.io import nvm as nvm_io
 from hpmvs_tpu.runtime.streaming import StreamingEngine, merge_models
 from hpmvs_tpu.testing import make_plane_scene
 
+pytestmark = pytest.mark.slow  # e2e scene test; quick run: pytest -m 'not slow'
+
 
 def _split_model(scene, cam_split, pt_split):
     """Split a plane scene into two chunks (cameras and points)."""
