@@ -47,6 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                     _u64p, _i64p, _i64p]
     lib.containing_cell.argtypes = [ctypes.c_int64, _u64p, ctypes.c_int64,
                                     _u64p, _i64p, _i64p, _i64p]
+    try:
+        lib.structure_level_sorted.argtypes = lib.structure_level.argtypes
+        lib.containing_cell_sorted.argtypes = lib.containing_cell.argtypes
+    except AttributeError:  # pragma: no cover - stale .so without the merge path
+        lib.structure_level_sorted = None
+        lib.containing_cell_sorted = None
     lib.lookup_cells.argtypes = [ctypes.c_int64, _i64p, _u64p,
                                  ctypes.c_int64, _u64p, _i64p, _i64p, _i64p]
     lib.seed_pushdown.argtypes = [ctypes.c_int64, _f64p, ctypes.c_double,
@@ -82,12 +88,27 @@ def keys_at_level(pts, center, width, level):
     return out
 
 
+# above this many queries, one argsort + two-pointer level sweeps beat
+# per-query binary searches (~5x at 1M queries; crossover measured ~4k)
+_SORT_THRESHOLD = 4096
+
+
 def structure_level(qkeys_max, max_level, anc_flat, anc_off):
     lib = _load()
     n = len(qkeys_max)
+    q = np.ascontiguousarray(qkeys_max, np.uint64)
     out = np.empty(n, np.int64)
-    lib.structure_level(n, np.ascontiguousarray(qkeys_max, np.uint64),
-                        int(max_level),
+    if n >= _SORT_THRESHOLD and lib.structure_level_sorted is not None:
+        order = np.argsort(q)
+        lib.structure_level_sorted(n, np.ascontiguousarray(q[order]),
+                                   int(max_level),
+                                   np.ascontiguousarray(anc_flat, np.uint64),
+                                   np.ascontiguousarray(anc_off, np.int64),
+                                   out)
+        inv = np.empty(n, np.int64)
+        inv[order] = out
+        return inv
+    lib.structure_level(n, q, int(max_level),
                         np.ascontiguousarray(anc_flat, np.uint64),
                         np.ascontiguousarray(anc_off, np.int64), out)
     return out
@@ -96,9 +117,20 @@ def structure_level(qkeys_max, max_level, anc_flat, anc_off):
 def containing_cell(qkeys_max, max_level, occ_flat, occ_off, occ_cid):
     lib = _load()
     n = len(qkeys_max)
+    q = np.ascontiguousarray(qkeys_max, np.uint64)
     out = np.empty(n, np.int64)
-    lib.containing_cell(n, np.ascontiguousarray(qkeys_max, np.uint64),
-                        int(max_level),
+    if n >= _SORT_THRESHOLD and lib.containing_cell_sorted is not None:
+        order = np.argsort(q)
+        lib.containing_cell_sorted(n, np.ascontiguousarray(q[order]),
+                                   int(max_level),
+                                   np.ascontiguousarray(occ_flat, np.uint64),
+                                   np.ascontiguousarray(occ_off, np.int64),
+                                   np.ascontiguousarray(occ_cid, np.int64),
+                                   out)
+        inv = np.empty(n, np.int64)
+        inv[order] = out
+        return inv
+    lib.containing_cell(n, q, int(max_level),
                         np.ascontiguousarray(occ_flat, np.uint64),
                         np.ascontiguousarray(occ_off, np.int64),
                         np.ascontiguousarray(occ_cid, np.int64), out)

@@ -56,7 +56,7 @@ class PatchStore:
     include/hpmvs/Patch3d.h:33-83)."""
 
     FIELDS = ("center", "normal", "scale", "views", "color", "flatness",
-              "expanded", "prio_red", "alive", "cell", "dirty")
+              "expanded", "prio_red", "alive", "cell", "dirty", "nxt")
 
     def __init__(self, max_views: int, cap: int = 1024):
         self.K = max_views
@@ -75,6 +75,9 @@ class PatchStore:
         # Patch3d::dirty_ (Patch3d.h:68): set on border arrivals so resume
         # re-queues them even when already expanded (CellProcessor.cpp:443)
         self.dirty = np.zeros((cap,), bool)
+        # intrusive next-in-cell chain (the Leaf::data vector of doctree.h
+        # as flat arrays): cell_head[cid] -> pid -> nxt[pid] -> ... -> -1
+        self.nxt = np.full((cap,), -1, np.int64)
 
     def _grow(self, need: int):
         while self._cap < need:
@@ -88,7 +91,7 @@ class PatchStore:
             setattr(self, f, b)
         for f, fill in (("scale", 0), ("flatness", -1.0), ("expanded", False),
                         ("prio_red", 0), ("alive", False), ("cell", -1),
-                        ("dirty", False)):
+                        ("dirty", False), ("nxt", -1)):
             a = getattr(self, f)
             b = np.full((self._cap,), fill, a.dtype)
             b[:a.shape[0]] = a
@@ -105,12 +108,14 @@ class PatchStore:
         self.prio_red[ids] = 0
         self.cell[ids] = -1
         self.dirty[ids] = False
+        self.nxt[ids] = -1
         return ids
 
     def free(self, ids: np.ndarray):
         self.alive[ids] = False
         self.cell[ids] = -1
         self.views[ids] = -1
+        self.nxt[ids] = -1
 
 
 class LinearOctree:
@@ -167,6 +172,10 @@ class LinearOctree:
         return np.clip(ij, 0, (res - 1)[..., None])
 
     def key_at(self, pts: np.ndarray, level) -> np.ndarray:
+        lv = np.asarray(level)
+        if lv.ndim == 0 and pts.shape[0] >= 4096 and native.available():
+            return native.keys_at_level(np.ascontiguousarray(pts, np.float64),
+                                        self.center, self.width, int(lv))
         ij = self.cell_coords(pts, np.broadcast_to(level, (pts.shape[0],)))
         return morton_encode(ij[:, 0], ij[:, 1], ij[:, 2])
 

@@ -232,12 +232,15 @@ def tree_to_ply(engine, name_prefix: str, no_scalar: bool = True) -> None:
                       [1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]])
     faces = [[0, 1, 2, 3], [7, 6, 5, 4], [0, 4, 5, 1],
              [1, 5, 6, 2], [2, 6, 7, 3], [3, 7, 4, 0]]
-    # mean patch color per cell
+    # mean patch color per cell (padded member matrix, vectorized)
     cell_cols = np.full((len(cids), 3), 128.0)
-    for j, cid in enumerate(cids):
-        plist = engine.cell_patches.get(int(cid), [])
-        if plist:
-            cell_cols[j] = engine.patches.color[plist].mean(0)
+    if len(cids):
+        m, mask = engine._members(cids)
+        cols = np.where(mask[..., None], engine.patches.color[np.maximum(m, 0)],
+                        0.0)
+        cnt = mask.sum(1)
+        got = cnt > 0
+        cell_cols[got] = cols.sum(1)[got] / cnt[got][:, None]
     cell_cols = np.clip(np.floor(cell_cols + 0.5), 0, 255).astype(int)
 
     with open(name_prefix + "-tree.ply", "w") as fh:

@@ -24,7 +24,8 @@ def save_checkpoint(engine, path: str) -> None:
     t = engine.tree
     n = p.n
     queue_prios = np.asarray(sorted(engine.queue.keys()), np.int64)
-    queue_lists = [np.asarray(engine.queue[int(pr)], np.int64)
+    queue_lists = [np.concatenate(engine.queue[int(pr)]).astype(np.int64)
+                   if engine.queue[int(pr)] else np.zeros((0,), np.int64)
                    for pr in queue_prios]
     queue_flat = (np.concatenate(queue_lists) if queue_lists
                   else np.zeros((0,), np.int64))
@@ -81,19 +82,21 @@ def load_checkpoint(engine, path: str) -> None:
         tree._index = None
     engine.tree = tree
 
-    engine.cell_patches.clear()
-    for pid in np.nonzero(p.alive[:n])[0]:
-        cid = int(p.cell[pid])
-        if cid >= 0:
-            engine.cell_patches[cid].append(int(pid))
+    # rebuild the head/next membership chains; reverse order so the chain
+    # heads end up oldest-first like the original insertion order
+    engine.cell_head = np.full(max(engine.tree._cap, 1024), -1, np.int64)
+    live = np.nonzero(p.alive[:n])[0]
+    cids = p.cell[live]
+    has = cids >= 0
+    engine.insert_patches(live[has][::-1], cids[has][::-1])
 
     engine.pack = engine.pack._replace(depth=jnp.asarray(z["depth"]))
 
     engine.queue.clear()
     pos = 0
     for pr, sz in zip(z["queue_prios"], z["queue_sizes"]):
-        engine.queue[int(pr)] = [int(c) for c in
-                                 z["queue_flat"][pos:pos + sz]]
+        engine.queue[int(pr)] = [z["queue_flat"][pos:pos + sz]
+                                 .astype(np.int64)]
         pos += sz
 
     stats = json.loads(bytes(z["stats"]).decode())
@@ -109,16 +112,15 @@ def requeue_from_tree(engine, skip_clean: bool = True) -> int:
     marked dirty and therefore re-queued). Returns #queued."""
     engine.queue.clear()
     t = engine.tree
-    queued = 0
-    for cid in np.nonzero(t.alive[:t.n])[0]:
-        plist = engine.cell_patches.get(int(cid))
-        if not plist:
-            continue
-        if (skip_clean and len(plist) == 1
-                and engine.patches.expanded[plist[0]]
-                and not engine.patches.dirty[plist[0]]):
-            continue
-        level = int(t.level[cid])
-        engine._push(level * 10, int(cid))
-        queued += 1
-    return queued
+    engine._ensure_heads()
+    alive = np.nonzero(t.alive[:t.n])[0]
+    heads = engine.cell_head[alive]
+    has = heads >= 0
+    cand, h = alive[has], heads[has]
+    if skip_clean:
+        single = engine.patches.nxt[h] < 0
+        clean = (single & engine.patches.expanded[h]
+                 & ~engine.patches.dirty[h])
+        cand = cand[~clean]
+    engine._push_many(t.level[cand].astype(np.int64) * 10, cand)
+    return len(cand)

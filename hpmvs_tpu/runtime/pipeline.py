@@ -123,9 +123,14 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
                                          for i, v in enumerate(hist) if v})
     proc_time = time.time() - t0
     n_opt = engine.stats["patches_optimized"]
-    log.info("Done within %.1f seconds (%d patches optimized, %.1f/s)",
-             proc_time, n_opt, n_opt / max(proc_time, 1e-9))
+    t_dev = float(engine.stats["t_device"])
+    host_frac = max(proc_time - t_dev, 0.0) / max(proc_time, 1e-9)
+    log.info("Done within %.1f seconds (%d patches optimized, %.1f/s; "
+             "host scheduler fraction %.1f%%)",
+             proc_time, n_opt, n_opt / max(proc_time, 1e-9),
+             100.0 * host_frac)
     engine.stats["proc_time"] = proc_time
+    engine.stats["host_fraction"] = host_frac
 
     engine.save_ply(os.path.join(opt.OUTFOLDER, "patches-final.ply"))
     if light_output > 0:

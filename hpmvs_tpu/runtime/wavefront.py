@@ -74,8 +74,11 @@ class Engine:
         self.refresh_host_caches()
         self.patches = PatchStore(opt.MAX_VIEWS)
         self.tree: Optional[LinearOctree] = None
-        self.cell_patches: Dict[int, List[int]] = defaultdict(list)
-        self.queue: Dict[int, List[int]] = defaultdict(list)
+        # cell -> patch membership as intrusive linked arrays (head + nxt):
+        # all scheduler bookkeeping is grouped numpy, no per-item Python
+        self.cell_head = np.full(1024, -1, np.int64)
+        # queue[prio] = list of int64 cid chunks (flattened at pop)
+        self.queue: Dict[int, List[np.ndarray]] = defaultdict(list)
         self.stats = defaultdict(int)
         self.on_patch_event: Optional[Callable] = None
 
@@ -90,24 +93,83 @@ class Engine:
         self._sharded_gate_fn = None
 
     # ------------------------------------------------------------------
-    # plumbing
+    # plumbing: cell membership as head/next chains, batched queue pushes
     # ------------------------------------------------------------------
+    def _ensure_heads(self):
+        need = self.tree.n
+        if len(self.cell_head) < need:
+            cap = len(self.cell_head)
+            while cap < need:
+                cap *= 2
+            b = np.full(cap, -1, np.int64)
+            b[:len(self.cell_head)] = self.cell_head
+            self.cell_head = b
+
+    def insert_patches(self, pids: np.ndarray, cids: np.ndarray):
+        """Batch cell-membership insert. Duplicate target cells chain
+        (multi-patch cells, resolved later by filter); each dedup round
+        links one patch per distinct cell, so rounds = max multiplicity."""
+        pids = np.asarray(pids, np.int64)
+        cids = np.asarray(cids, np.int64)
+        self._ensure_heads()
+        self.patches.cell[pids] = cids
+        while len(pids):
+            u, first = np.unique(cids, return_index=True)
+            p = pids[first]
+            self.patches.nxt[p] = self.cell_head[u]
+            self.cell_head[u] = p
+            if len(first) == len(pids):
+                break
+            mask = np.ones(len(pids), bool)
+            mask[first] = False
+            pids, cids = pids[mask], cids[mask]
+
     def _insert_patch(self, pid: int, cid: int):
-        self.patches.cell[pid] = cid
-        self.cell_patches[cid].append(int(pid))
+        self.insert_patches(np.asarray([pid]), np.asarray([cid]))
 
-    def _remove_patch(self, pid: int):
-        cid = int(self.patches.cell[pid])
-        if cid >= 0 and pid in self.cell_patches.get(cid, ()):
-            self.cell_patches[cid].remove(pid)
-        self.patches.free(np.asarray([pid]))
+    def _members(self, cids: np.ndarray):
+        """Padded (C, M) member-pid matrix + validity mask (M = deepest
+        chain among the cells)."""
+        cols = [self.cell_head[cids]]
+        while True:
+            cur = cols[-1]
+            nxt = np.where(cur >= 0, self.patches.nxt[np.maximum(cur, 0)], -1)
+            if not (nxt >= 0).any():
+                break
+            cols.append(nxt)
+        m = np.stack(cols, 1)
+        return m, m >= 0
 
-    def _free_cell(self, cid: int):
-        self.tree.free_cells(np.asarray([cid]))
-        self.cell_patches.pop(cid, None)
+    def cell_members(self, cid: int) -> List[int]:
+        """Patch ids in one cell (oldest last; head is the newest insert)."""
+        m, mask = self._members(np.asarray([cid], np.int64))
+        return [int(p) for p in m[0][mask[0]]]
+
+    def _clear_cell_patches(self, cids: np.ndarray) -> np.ndarray:
+        """Free every patch of the given cells; returns the freed pids."""
+        m, mask = self._members(cids)
+        pids = m[mask]
+        if len(pids):
+            self.patches.free(pids)
+        self.cell_head[cids] = -1
+        return pids
+
+    def _free_cells(self, cids: np.ndarray):
+        self.tree.free_cells(np.asarray(cids))
+        self._ensure_heads()
+        self.cell_head[np.asarray(cids)] = -1
 
     def _push(self, prio: int, cid: int):
-        self.queue[int(prio)].append(int(cid))
+        self.queue[int(prio)].append(np.asarray([cid], np.int64))
+
+    def _push_many(self, prios: np.ndarray, cids: np.ndarray):
+        """Grouped queue append: one chunk per distinct priority."""
+        if len(cids) == 0:
+            return
+        prios = np.asarray(prios, np.int64)
+        cids = np.asarray(cids, np.int64)
+        for pr in np.unique(prios):
+            self.queue[int(pr)].append(cids[prios == pr])
 
     def _optimize(self, centers, normals, scales, views):
         """Bucketed batched optimize (pads to bounded shapes to limit
@@ -145,6 +207,7 @@ class Engine:
         """Raw device dispatch of the batched optimizer on an already
         padded/shaped batch. Returns 7 writable np arrays of full length."""
         import jax
+        t0 = time.time()
         args = (jnp.asarray(centers), jnp.asarray(normals),
                 jnp.asarray(scales), jnp.asarray(views))
         if self.mesh is not None:
@@ -156,11 +219,13 @@ class Engine:
         else:
             res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
         res = jax.device_get(res)  # one transfer for all outputs
+        self.stats["t_device"] += time.time() - t0
         return tuple(np.array(x) for x in res)  # writable
 
     def _set_depths(self, pids: np.ndarray, subtract: bool = False):
         if len(pids) == 0:
             return
+        t0 = time.time()
         n = len(pids)
         b = _bucket(n)
         c = np.zeros((b, 3), np.float32)
@@ -173,6 +238,7 @@ class Engine:
             self.pack, self.scene.ctx.cams, jnp.asarray(c), jnp.asarray(s),
             jnp.asarray(v), subtract=subtract,
             subsample=self.opt.DEPTH_SUBSAMPLE)
+        self.stats["t_device"] += time.time() - t0
 
     def _extend_compute(self, centers, normals, scales, views, parent_c,
                         widths):
@@ -210,6 +276,7 @@ class Engine:
         """Raw device dispatch of the fused optimize+gate step on an already
         padded/shaped batch. Returns 6 writable np arrays of full length."""
         import jax
+        t0 = time.time()
         args = (jnp.asarray(centers), jnp.asarray(normals),
                 jnp.asarray(scales), jnp.asarray(views),
                 jnp.asarray(parent_c), jnp.asarray(widths))
@@ -225,6 +292,7 @@ class Engine:
                 self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
                 *args)
         res = jax.device_get(res)
+        self.stats["t_device"] += time.time() - t0
         return tuple(np.array(x) for x in res)
 
     def _geom_gates(self, centers, normals, scales, views):
@@ -331,13 +399,11 @@ class Engine:
         self.patches.scale[pids] = s
         self.patches.views[pids] = v
         self.patches.color[pids] = col
-        for i, pid in enumerate(pids):
-            self._insert_patch(int(pid), int(cids[inv[i]]))
+        self.insert_patches(pids, cids[inv])
         self._set_depths(pids)
 
         # initFromTree (CellProcessor.cpp:422-455): queue at level*10
-        for j, cid in enumerate(cids):
-            self._push(int(uniq[0][j]) * 10, int(cid))
+        self._push_many(uniq[0].astype(np.int64) * 10, cids)
         self.stats["seeds"] = len(c)
         return len(c)
 
@@ -353,21 +419,23 @@ class Engine:
             pmin = min(self.queue)
             if pmin > prio:
                 break
-            cells = self.queue.pop(pmin)
-            # dedup + drop dead cells (the reference dangles pointers here)
-            seen = set()
-            live = []
-            for cid in cells:
-                if cid in seen or not self.tree.alive[cid]:
-                    continue
-                seen.add(cid)
-                if self.cell_patches.get(cid):
-                    live.append(cid)
-            if not live:
+            chunks = self.queue.pop(pmin)
+            if not chunks:
+                continue
+            cells = (np.concatenate(chunks) if len(chunks) > 1
+                     else np.asarray(chunks[0], np.int64))
+            # dedup keeping first occurrence + drop dead/empty cells (the
+            # reference dangles pointers here)
+            _, first = np.unique(cells, return_index=True)
+            cells = cells[np.sort(first)]
+            self._ensure_heads()
+            live = cells[self.tree.alive[cells]
+                         & (self.cell_head[cells] >= 0)]
+            if len(live) == 0:
                 continue
             changed = True
             t0 = time.time()
-            self._process_cells(np.asarray(live, np.int64), pmin)
+            self._process_cells(live, pmin)
             self.stats[f"t_phase{pmin % 10}"] += time.time() - t0
             self.stats["cells_processed"] += len(live)
         return changed
@@ -377,11 +445,12 @@ class Engine:
         if prio >= opt.max_prio:
             return
         # filter multi-patch cells first (CellProcessor.cpp:377-378)
-        multi = [c for c in cids if len(self.cell_patches[c]) > 1]
-        if multi:
+        heads = self.cell_head[cids]
+        multi = cids[self.patches.nxt[heads] >= 0]
+        if len(multi):
             self._filter_cells(multi)
 
-        first_pid = np.asarray([self.cell_patches[c][0] for c in cids])
+        first_pid = self.cell_head[cids]
         expanded = self.patches.expanded[first_pid]
         flat = self.patches.flatness[first_pid]
 
@@ -399,30 +468,33 @@ class Engine:
             self._branch_cells(bra)
 
     # -- filter (CellProcessor::filter, :43-82) -------------------------
-    def _filter_cells(self, cids):
-        losers = []
-        for cid in cids:
-            pids = self.cell_patches[cid]
-            if len(pids) <= 1:
-                continue
-            cs = self.patches.center[pids]
-            ns = self.patches.normal[pids]
-            ns = ns / np.maximum(np.linalg.norm(ns, axis=1, keepdims=True),
-                                 1e-12)
-            # mean *signed* plane distance of the others (reference quirk)
-            diff = cs[None, :, :] - cs[:, None, :]       # (i, j, 3)
-            d = np.einsum("ik,ijk->ij", ns, diff)
-            np.fill_diagonal(d, 0.0)
-            dist = d.sum(1) / (len(pids) - 1)
-            best = int(np.argmin(dist))
-            for j, pid in enumerate(list(pids)):
-                if j != best:
-                    losers.append(pid)
-            keeper = pids[best]
-            self.cell_patches[cid] = [keeper]
-            self.patches.cell[keeper] = cid
-        if losers:
-            losers = np.asarray(losers)
+    def _filter_cells(self, cids: np.ndarray):
+        """Keep the best-plane-support patch per multi-patch cell, batched
+        over all cells at once (padded member matrix)."""
+        m, mask = self._members(cids)                   # (C, M)
+        C, M = m.shape
+        if M <= 1:
+            return
+        cs = self.patches.center[np.maximum(m, 0)]      # (C, M, 3)
+        ns = self.patches.normal[np.maximum(m, 0)]
+        ns = ns / np.maximum(np.linalg.norm(ns, axis=2, keepdims=True),
+                             1e-12)
+        # mean *signed* plane distance of the others (reference quirk)
+        diff = cs[:, None, :, :] - cs[:, :, None, :]    # (C, i, j, 3)
+        d = np.einsum("cik,cijk->cij", ns, diff)
+        pair = mask[:, None, :] & mask[:, :, None] \
+            & ~np.eye(M, dtype=bool)[None]
+        d = np.where(pair, d, 0.0)
+        cnt = mask.sum(1)
+        dist = d.sum(2) / np.maximum(cnt - 1, 1)[:, None]
+        dist = np.where(mask, dist, np.inf)
+        best = np.argmin(dist, axis=1)
+        keeper = m[np.arange(C), best]
+        losers = m[mask & (np.arange(M)[None] != best[:, None])]
+        self.cell_head[cids] = keeper
+        self.patches.nxt[keeper] = -1
+        self.patches.cell[keeper] = cids
+        if len(losers):
             self._set_depths(losers, subtract=True)
             self.patches.free(losers)
             self.stats["filtered"] += len(losers)
@@ -443,7 +515,7 @@ class Engine:
     def _extend_cells_batch(self, cids: np.ndarray):
         opt = self.opt
         N = opt.EXTEND_DIRS
-        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        pids = self.cell_head[cids]
         centers = self.patches.center[pids]
         normals = self.patches.normal[pids]
         views = self.patches.views[pids]
@@ -545,11 +617,9 @@ class Engine:
         self.patches.expanded[new_pids] = False
         self.patches.prio_red[new_pids] = pr_a
         self.patches.dirty[new_pids] = dirty
-        for i, pid in enumerate(new_pids):
-            self._insert_patch(int(pid), int(new_cids[i]))
+        self.insert_patches(new_pids, new_cids)
         self._set_depths(new_pids)
-        for i, cid in enumerate(new_cids):
-            self._push((int(lv_a[i]) + int(pr_a[i])) * 10, int(cid))
+        self._push_many((lv_a.astype(np.int64) + pr_a) * 10, new_cids)
         return len(acc)
 
     def _finish_extend(self, cids, pids, levels, prio_red):
@@ -557,14 +627,13 @@ class Engine:
         Processing clears the dirty flag set by border arrivals."""
         self.patches.expanded[pids] = True
         self.patches.dirty[pids] = False
-        for i, cid in enumerate(cids):
-            self._push((int(levels[i]) + int(prio_red[i])) * 10 + 1, int(cid))
+        self._push_many((levels + prio_red) * 10 + 1, cids)
 
     # -- regularize (CellProcessor::regularize, :309-367) ---------------
     def _regularize_cells(self, cids: np.ndarray):
         opt = self.opt
         hw = opt.REGULARIZE_HWIN
-        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        pids = self.cell_head[cids]
         centers = self.patches.center[pids]
         normals = self.patches.normal[pids]
         views = self.patches.views[pids]
@@ -586,13 +655,11 @@ class Engine:
         owner = self.tree.containing_cell(pts.reshape(B * M, 3)).reshape(B, M)
 
         # vectorized: distinct neighbor cells per row (sorted-row dedup),
-        # first-patch centers via a cellid -> pid map over the cells seen
+        # first-patch centers straight from the cell-head array
         uniq_cells = np.unique(owner[owner >= 0])
-        first_pid = np.full(len(uniq_cells), -1, np.int64)
-        for j, cid2 in enumerate(uniq_cells):
-            plist = self.cell_patches.get(int(cid2))
-            if plist:
-                first_pid[j] = plist[0]
+        self._ensure_heads()
+        first_pid = self.cell_head[uniq_cells] if len(uniq_cells) \
+            else np.zeros((0,), np.int64)
         # owner -> index into uniq_cells (-1 stays -1)
         oidx = np.searchsorted(uniq_cells, np.maximum(owner, 0))
         oidx = np.where(owner >= 0, oidx, -1)
@@ -623,24 +690,22 @@ class Engine:
 
         self.patches.flatness[pids] = flat
         self.patches.prio_red[pids] = 0  # CellProcessor.cpp:399
-        for i, cid in enumerate(cids):
-            self._push(int(levels[i]) * 10 + 2, int(cid))
+        self._push_many(levels * 10 + 2, cids)
         self.stats["regularized"] += B
 
     # -- removal (processCell flatness > 2.4 branch, :407-412) ----------
     def _remove_cells(self, cids: np.ndarray):
-        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        pids = self.cell_head[cids]
         self._set_depths(pids, subtract=True)
-        for cid, pid in zip(cids, pids):
-            self._remove_patch(int(pid))
-            self._free_cell(int(cid))
+        self._clear_cell_patches(cids)
+        self._free_cells(cids)
         self.stats["removed"] += len(cids)
 
     # -- branch (CellProcessor::branch, :210-307) -----------------------
     def _branch_cells(self, cids: np.ndarray):
         opt = self.opt
         N = opt.BRANCH_DIRS
-        pids = np.asarray([self.cell_patches[c][0] for c in cids])
+        pids = self.cell_head[cids]
         centers = self.patches.center[pids]
         normals = self.patches.normal[pids]
         scales = self.patches.scale[pids]
@@ -711,11 +776,9 @@ class Engine:
         # split: remove the old patch + cell (:274-288)
         old_idx = work[split_mask]
         if len(old_idx):
-            old_pids = pids[old_idx]
-            self._set_depths(old_pids, subtract=True)
-            for cid, pid in zip(cids[old_idx], old_pids):
-                self._remove_patch(int(pid))
-                self._free_cell(int(cid))
+            self._set_depths(pids[old_idx], subtract=True)
+            self._clear_cell_patches(cids[old_idx])
+            self._free_cells(cids[old_idx])
 
         if not accepted.any():
             return
@@ -726,8 +789,8 @@ class Engine:
         if len(acc) == 0:
             return
 
-        oc_map = {int(s): i for i, s in enumerate(sel)}
-        rows = np.asarray([oc_map[int(a)] for a in acc])
+        # sel is sorted (np.nonzero), so row lookup is a binary search
+        rows = np.searchsorted(sel, acc)
         child_c = oc[rows]
         child_n = on[rows]
         child_s = os_[rows]
@@ -763,13 +826,12 @@ class Engine:
         self.patches.expanded[new_pids] = False
         par_prio_red = self.patches.prio_red[pids[work][src[acc]]]
         self.patches.prio_red[new_pids] = par_prio_red
-        for i, pid in enumerate(new_pids):
-            self._insert_patch(int(pid), int(cell_ids[inv[i]]))
+        self.insert_patches(new_pids, cell_ids[inv])
         self._set_depths(new_pids)
-        for j in range(len(uniq[0])):
-            first = int(np.nonzero(inv == j)[0][0])
-            pr = (int(child_lv[first]) + int(par_prio_red[first])) * 10
-            self._push(pr, int(cell_ids[j]))
+        # queue each distinct child cell once, at its first child's priority
+        _, first_of = np.unique(inv, return_index=True)
+        prs = (child_lv[first_of] + par_prio_red[first_of]) * 10
+        self._push_many(prs, cell_ids)
         self.stats["branched"] += len(acc)
 
     # ------------------------------------------------------------------

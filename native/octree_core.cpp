@@ -126,6 +126,51 @@ void containing_cell(int64_t nq, const uint64_t* qkeys_max, int64_t max_level,
   }
 }
 
+// Merge-based variants for large batches: queries arrive SORTED by their
+// max-level key (the level-lv ancestor of a sorted key sequence is itself
+// sorted, so each level is one cache-friendly two-pointer sweep instead of
+// nq binary searches). ~5x faster than the per-query search at 1M queries.
+
+void structure_level_sorted(int64_t nq, const uint64_t* qkeys_max_sorted,
+                            int64_t max_level, const uint64_t* anc_flat,
+                            const int64_t* anc_off, int64_t* out) {
+  std::memset(out, 0, nq * sizeof(int64_t));
+  for (int64_t lv = max_level; lv >= 0; lv--) {
+    int64_t nk = anc_off[lv + 1] - anc_off[lv];
+    if (nk == 0) continue;
+    const uint64_t* keys = anc_flat + anc_off[lv];
+    const uint64_t shift = (uint64_t)(3 * (max_level - lv));
+    int64_t j = 0;
+    for (int64_t i = 0; i < nq; i++) {
+      if (out[i] != 0) continue;  // deeper level already matched
+      uint64_t q = qkeys_max_sorted[i] >> shift;
+      while (j < nk && keys[j] < q) j++;
+      if (j < nk && keys[j] == q) out[i] = lv + 1;
+    }
+  }
+}
+
+void containing_cell_sorted(int64_t nq, const uint64_t* qkeys_max_sorted,
+                            int64_t max_level, const uint64_t* occ_flat,
+                            const int64_t* occ_off,
+                            const int64_t* occ_cid_flat, int64_t* out) {
+  for (int64_t i = 0; i < nq; i++) out[i] = -1;
+  for (int64_t lv = 0; lv <= max_level; lv++) {
+    int64_t nk = occ_off[lv + 1] - occ_off[lv];
+    if (nk == 0) continue;
+    const uint64_t* keys = occ_flat + occ_off[lv];
+    const int64_t* cid = occ_cid_flat + occ_off[lv];
+    const uint64_t shift = (uint64_t)(3 * (max_level - lv));
+    int64_t j = 0;
+    for (int64_t i = 0; i < nq; i++) {
+      if (out[i] >= 0) continue;  // leaves are disjoint: first match wins
+      uint64_t q = qkeys_max_sorted[i] >> shift;
+      while (j < nk && keys[j] < q) j++;
+      if (j < nk && keys[j] == q) out[i] = cid[j];
+    }
+  }
+}
+
 // exact (level, key) lookup -> cell id or -1
 void lookup_cells(int64_t nq, const int64_t* qlevels, const uint64_t* qkeys,
                   int64_t max_level, const uint64_t* occ_flat,
