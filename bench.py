@@ -71,11 +71,46 @@ def main():
         # measured C++ baseline as soon as bench/cpu_baseline is built.
         baseline_pps = 500.0
 
+    # end-to-end bounded priority-loop reconstruction (the reference's own
+    # metric is whole-loop wall-clock, main.cpp:183-185). Shapes are warmed
+    # with a throwaway engine first: compile/cache-deserialization is a
+    # per-process one-time cost that a production-length run amortizes, so
+    # the steady-state loop is what gets timed. One fused dispatch per
+    # extend batch (optimize + gates + deferred setDepths).
+    from hpmvs_tpu.runtime.wavefront import Engine
+
+    def run_loop(budget):
+        eng = Engine(ps.model, opt, images=ps.images)
+        t0 = time.time()
+        eng.seed()
+        waves = 0
+        for prio in range(opt.max_prio):
+            if eng.process_priority_step(prio):
+                waves += 1
+            if not eng.have_work() or time.time() - t0 > budget:
+                break
+        return eng, time.time() - t0, waves
+
+    run_loop(120)                      # warmup: compile/load all shapes
+    eng, e2e_dt, waves = run_loop(90)  # steady-state timed pass
+    n_e2e = int(eng.stats["patches_optimized"])
+    disp = int(eng.stats["dispatches"])
+
     print(json.dumps({
         "metric": "patches_optimized_per_sec",
         "value": round(pps, 1),
         "unit": "patches/s",
         "vs_baseline": round(pps / baseline_pps, 2),
+        "extra": {
+            "pipeline_patches_per_sec": round(n_e2e / max(e2e_dt, 1e-9), 1),
+            "pipeline_patches": n_e2e,
+            "pipeline_alive": int(eng.n_alive()),
+            "dispatches": disp,
+            "dispatches_per_wavefront": round(disp / max(waves, 1), 2),
+            "host_fraction": round(
+                max(e2e_dt - float(eng.stats["t_device"]), 0.0)
+                / max(e2e_dt, 1e-9), 4),
+        },
     }))
 
 

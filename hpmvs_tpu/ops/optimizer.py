@@ -1075,13 +1075,30 @@ def _optimize_all(ctx, opt: Options, center, normal, scale, views):
 
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))
 def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
-                      center, normal, scale, views, parent_c, widths):
+                      center, normal, scale, views, parent_c, widths,
+                      pend_c=None, pend_s=None, pend_v=None):
     """Fused extend-candidate compute: optimize + every acceptance gate of
     CellProcessor::extend (:130-142) -- scale window, drift, depthTests,
     viewBlockTest, pixelFreeTests -- in ONE device dispatch.
 
-    Returns (center', normal', scale', views', ok, color)."""
+    pend_c/pend_s/pend_v: deferred setDepths writes of patches accepted
+    since the last dispatch (-1-padded views). They scatter-min into the
+    z-buffer BEFORE the gates run, folding the engine's separate set_depths
+    dispatch into this one (same freshness: the reference interleaves
+    setDepths between cells, we between batches).
+
+    Returns (center', normal', scale', views', ok, color[, new_depth when
+    pending was passed])."""
     from hpmvs_tpu.core import depth as depth_mod
+
+    has_pend = pend_c is not None
+    if has_pend:
+        idx, d, valid = depth_mod._patch_view_cells(
+            pack, ctx.cams, pend_c, pend_s, pend_v, opt.DEPTH_SUBSAMPLE)
+        new_depth = pack.depth.at[
+            jnp.where(valid, idx, 0).reshape(-1)].min(
+            jnp.where(valid, d, jnp.inf).reshape(-1))
+        pack = pack._replace(depth=new_depth)
 
     oc, on, os_, ov, ok, col, _ = _optimize_all(ctx, opt, center, normal,
                                                 scale, views)
@@ -1101,6 +1118,8 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     ok &= vb < opt.MIN_IMAGES_PER_PATCH
     ok &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
         & (pf / jnp.maximum(nv, 1) > 0.75)
+    if has_pend:
+        return oc, on, os_, ov, ok, col, pack.depth
     return oc, on, os_, ov, ok, col
 
 

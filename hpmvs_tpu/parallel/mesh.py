@@ -152,16 +152,20 @@ def sharded_optimize_and_gate(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
     """Jitted fused extend-candidate compute sharded over the mesh: optimize
     + every CellProcessor::extend acceptance gate in one dispatch per shard
     (the multi-chip twin of optimizer.optimize_and_gate; depth pack
-    replicated). Batch must be a multiple of the mesh size."""
-    def body(c, n, s, v, pc, w, depth):
+    replicated). Deferred setDepths writes (pend_*, replicated) scatter-min
+    into every shard's replica before the gates, and the updated depth
+    returns replicated. Batch must be a multiple of the mesh size."""
+    def body(c, n, s, v, pc, w, depth, pend_c, pend_s, pend_v):
         local = pack._replace(depth=depth)
         return popt.optimize_and_gate.__wrapped__(
-            ctx, local, opt, n_images, c, n, s, v, pc, w)
+            ctx, local, opt, n_images, c, n, s, v, pc, w,
+            pend_c, pend_s, pend_v)
 
     spec = P(("dp", "sp"))
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(spec, spec, spec, spec, spec, spec, P()),
-                   out_specs=(spec,) * 6,
+                   in_specs=(spec, spec, spec, spec, spec, spec, P(),
+                             P(), P(), P()),
+                   out_specs=(spec,) * 6 + (P(),),
                    check_vma=False)
     # depth is passed per call (the engine's z-buffer advances every batch);
     # the pack's static tables are closed over -- rebuild this fn if the

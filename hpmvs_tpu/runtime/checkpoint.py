@@ -20,6 +20,7 @@ from hpmvs_tpu.core.octree import LinearOctree
 
 
 def save_checkpoint(engine, path: str) -> None:
+    engine._flush_depths()  # deferred depth adds must land in the snapshot
     p = engine.patches
     t = engine.tree
     n = p.n

@@ -75,6 +75,7 @@ class StreamingEngine:
     def _extend(self, chunk: nvm_io.NvmModel) -> int:
         eng = self.engine
         opt = self.opt
+        eng._flush_depths()  # pending adds must land before the repack
         old_pack = eng.pack
         old_total = int(old_pack.depth.shape[0])
 

@@ -79,6 +79,9 @@ class Engine:
         self.cell_head = np.full(1024, -1, np.int64)
         # queue[prio] = list of int64 cid chunks (flattened at pop)
         self.queue: Dict[int, List[np.ndarray]] = defaultdict(list)
+        # deferred setDepths adds, folded into the next fused extend
+        # dispatch (optimize_and_gate pend_*) instead of their own dispatch
+        self._pend: List[np.ndarray] = []
         self.stats = defaultdict(int)
         self.on_patch_event: Optional[Callable] = None
 
@@ -220,9 +223,55 @@ class Engine:
             res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
         res = jax.device_get(res)  # one transfer for all outputs
         self.stats["t_device"] += time.time() - t0
+        self.stats["dispatches"] += 1
         return tuple(np.array(x) for x in res)  # writable
 
     def _set_depths(self, pids: np.ndarray, subtract: bool = False):
+        """Scene::setDepths. Adds are DEFERRED: they ride the next fused
+        extend dispatch (optimize_and_gate pend_*), cutting one dispatch per
+        batch; subtracts flush the pending adds first (ordering)."""
+        if len(pids) == 0:
+            return
+        if not subtract:
+            self._pend.append(np.asarray(pids))
+            return
+        self._flush_depths()
+        self._set_depths_direct(pids, subtract=True)
+
+    def _flush_depths(self):
+        """Apply deferred depth adds with a standalone dispatch (called
+        before subtracts, external pack readers and checkpointing)."""
+        if not self._pend:
+            return
+        pids = (np.concatenate(self._pend) if len(self._pend) > 1
+                else self._pend[0])
+        self._pend = []
+        self._set_depths_direct(pids)
+
+    def _take_pending(self):
+        """Pending depth adds as padded (c, s, v) arrays for the fused
+        extend dispatch, or None when nothing is pending."""
+        if not self._pend:
+            return None
+        pids = (np.concatenate(self._pend) if len(self._pend) > 1
+                else self._pend[0])
+        if len(pids) > 2 * self.opt.BATCH:  # bound the fused shape
+            self._flush_depths()
+            return None
+        self._pend = []
+        n = len(pids)
+        # coarse bucket ladder: every distinct (batch, pend) shape combo is
+        # a separate XLA executable (compile + per-process cache load)
+        b = _bucket(n, lo=512)
+        c = np.zeros((b, 3), np.float32)
+        s = np.zeros((b,), np.float32)
+        v = np.full((b, self.opt.MAX_VIEWS), -1, np.int32)
+        c[:n] = self.patches.center[pids]
+        s[:n] = self.patches.scale[pids]
+        v[:n] = self.patches.views[pids]
+        return c, s, v
+
+    def _set_depths_direct(self, pids: np.ndarray, subtract: bool = False):
         if len(pids) == 0:
             return
         t0 = time.time()
@@ -239,6 +288,7 @@ class Engine:
             jnp.asarray(v), subtract=subtract,
             subsample=self.opt.DEPTH_SUBSAMPLE)
         self.stats["t_device"] += time.time() - t0
+        self.stats["dispatches"] += 1
 
     def _extend_compute(self, centers, normals, scales, views, parent_c,
                         widths):
@@ -274,30 +324,61 @@ class Engine:
     def _call_extend(self, centers, normals, scales, views, parent_c,
                      widths):
         """Raw device dispatch of the fused optimize+gate step on an already
-        padded/shaped batch. Returns 6 writable np arrays of full length."""
+        padded/shaped batch. Deferred depth adds ride along (pend_*) and the
+        updated z-buffer comes back on-device -- ONE dispatch for
+        optimize + gates + setDepths. Returns 6 writable np arrays."""
         import jax
         t0 = time.time()
+        pend = self._take_pending()
         args = (jnp.asarray(centers), jnp.asarray(normals),
                 jnp.asarray(scales), jnp.asarray(views),
                 jnp.asarray(parent_c), jnp.asarray(widths))
-        if self.mesh is not None:
-            if self._sharded_gate_fn is None:
-                from hpmvs_tpu.parallel import mesh as pmesh
-                self._sharded_gate_fn, _ = pmesh.sharded_optimize_and_gate(
-                    self.mesh, self.scene.ctx, self.opt, self.pack,
-                    self.scene.n_cameras)
-            res = self._sharded_gate_fn(*args, self.pack.depth)
+        if pend is not None:
+            pargs = tuple(jnp.asarray(p) for p in pend)
+            if self.mesh is not None:
+                if self._sharded_gate_fn is None:
+                    from hpmvs_tpu.parallel import mesh as pmesh
+                    self._sharded_gate_fn, _ = \
+                        pmesh.sharded_optimize_and_gate(
+                            self.mesh, self.scene.ctx, self.opt, self.pack,
+                            self.scene.n_cameras)
+                res = self._sharded_gate_fn(*args, self.pack.depth, *pargs)
+            else:
+                res = popt.optimize_and_gate(
+                    self.scene.ctx, self.pack, self.opt,
+                    self.scene.n_cameras, *args, *pargs)
+            self.pack = self.pack._replace(depth=res[6])
+            res = res[:6]
         else:
-            res = popt.optimize_and_gate(
-                self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
-                *args)
+            if self.mesh is not None:
+                if self._sharded_gate_fn is None:
+                    from hpmvs_tpu.parallel import mesh as pmesh
+                    self._sharded_gate_fn, _ = \
+                        pmesh.sharded_optimize_and_gate(
+                            self.mesh, self.scene.ctx, self.opt, self.pack,
+                            self.scene.n_cameras)
+                res = self._sharded_gate_fn(
+                    *args, self.pack.depth,
+                    *self._empty_pending())[:6]
+            else:
+                res = popt.optimize_and_gate(
+                    self.scene.ctx, self.pack, self.opt,
+                    self.scene.n_cameras, *args)
         res = jax.device_get(res)
         self.stats["t_device"] += time.time() - t0
+        self.stats["dispatches"] += 1
         return tuple(np.array(x) for x in res)
+
+    def _empty_pending(self):
+        """All-invalid pend_* block (the sharded gate fn has one signature)."""
+        b = 128
+        return (jnp.zeros((b, 3), jnp.float32), jnp.zeros((b,), jnp.float32),
+                jnp.full((b, self.opt.MAX_VIEWS), -1, jnp.int32))
 
     def _geom_gates(self, centers, normals, scales, views):
         """Batched depthTests / viewBlockTest / pixelFreeTests for extend
         gating (CellProcessor.cpp:134-142)."""
+        self._flush_depths()
         n = centers.shape[0]
         b = _bucket(n)
 
