@@ -55,12 +55,21 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     main.cpp:127-139).
     spatial: partition the octree into Morton blocks on the mesh with halo
     border migration (the getSubTrees + border-queue analog, main.cpp:50-96,
-    CellProcessor.cpp:487-540) instead of flat batch sharding."""
+    CellProcessor.cpp:487-540) instead of flat batch sharding.
+
+    Multi-host entry: on a pod slice / multi-process launch, mesh="auto"
+    first calls parallel.mesh.init_distributed() (jax.distributed bring-up,
+    no-op without a coordinator env) and then builds the mesh over ALL
+    global devices. Host scheduler state (octree, patch store, queues) is
+    deterministically replicated per process -- the multi-controller SPMD
+    convention, proven by tests/test_multihost.py -- while device batches
+    are global arrays sharded over the slice."""
     if mesh == "auto":
         import jax
+        from hpmvs_tpu.parallel import mesh as pmesh
+        pmesh.init_distributed()
         mesh = None
         if len(jax.devices()) > 1:
-            from hpmvs_tpu.parallel import mesh as pmesh
             mesh = pmesh.make_mesh()
             log.info("sharding wavefronts over %d devices %s",
                      mesh.devices.size, dict(zip(mesh.axis_names,

@@ -1,0 +1,121 @@
+"""Worker process for the multi-host (2-process jax.distributed) test.
+
+Launched twice by tests/test_multihost.py: each process owns 4 virtual CPU
+devices of a global 8-device ('dp','sp') mesh, exactly the SURVEY.md
+section 4 prescription (jax.distributed local multiprocess + mesh over CPU
+devices as the fake backend for distributed logic). Process 0 is the
+coordinator. Scheduler state ownership: every process deterministically
+rebuilds the same scene/batch (the host scheduler is replicated state,
+like the reference's shared tree across OpenMP threads); device arrays are
+global jax.Arrays assembled per process from its addressable shards.
+
+Usage: python multihost_worker.py <process_id> <port>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+PID = int(sys.argv[1])
+PORT = int(sys.argv[2])
+jax.distributed.initialize(f"127.0.0.1:{PORT}", num_processes=2,
+                           process_id=PID)
+
+import dataclasses  # noqa: E402
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hpmvs_tpu.config import Options  # noqa: E402
+from hpmvs_tpu.core import depth as depth_mod  # noqa: E402
+from hpmvs_tpu.core import scene as scene_mod  # noqa: E402
+from hpmvs_tpu.ops import optimizer as popt  # noqa: E402
+from hpmvs_tpu.parallel import mesh as pmesh  # noqa: E402
+from hpmvs_tpu.testing import make_plane_scene  # noqa: E402
+
+
+def main():
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    opt = dataclasses.replace(Options(), START_LEVEL=1, MAXLEVEL=3,
+                              MAX_VIEWS=6, COVIS_MIN_POINTS=10, LM_ITERS=4)
+    ps = make_plane_scene(n_cams=4, imgsize=96, n_points=24, seed=0)
+    scene = scene_mod.build_scene(ps.model, opt, images=ps.images)
+    pack = depth_mod.build_depth_pack(np.asarray(scene.ctx.imgs.width),
+                                      np.asarray(scene.ctx.imgs.height),
+                                      opt.DEPTH_SUBSAMPLE)
+    c, n, s, v, _ = scene_mod.make_seed_patches(ps.model, scene, opt)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "sp"))
+    shard = NamedSharding(mesh, P(("dp", "sp")))
+    repl = NamedSharding(mesh, P())
+
+    (cp, np_, sp_, vp), B = pmesh.pad_to_multiple(
+        (c, n, s, v), len(c), 8, (0.0, 0.0, 0.0, -1))
+
+    def g(arr, sh=shard):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    # 1) full sharded wavefront step across both processes
+    step, _ = pmesh.sharded_optimize_step(mesh, scene.ctx, opt, pack)
+    out = step(g(cp), g(np_), g(sp_), g(vp), g(pack.depth, repl))
+
+    def gather(x):
+        """Sharded output -> replicated -> host (cross-process all-gather)."""
+        return np.asarray(jax.device_get(
+            jax.jit(lambda a: a, out_shardings=repl)(x)))
+
+    oc, on, os_, ov, ok = (gather(x) for x in out[:5])
+    depth = np.asarray(jax.device_get(out[6]))  # replicated -> readable
+
+    # cross-process depth correctness: the pmin-merged buffer equals a
+    # single-process set_depths over the same accepted patches
+    ref = popt.optimize_batch(scene.ctx, opt, jnp.asarray(cp),
+                              jnp.asarray(np_), jnp.asarray(sp_),
+                              jnp.asarray(vp))
+    ref_ok = np.asarray(ref[4])
+    assert (ok == ref_ok).all(), "sharded ok mask differs from single-process"
+    v_ok = np.where(ref_ok[:, None], np.asarray(ref[3]), -1)
+    ref_pack = depth_mod.set_depths(pack, scene.ctx.cams, ref[0], ref[2],
+                                    jnp.asarray(v_ok))
+    np.testing.assert_allclose(depth, np.asarray(ref_pack.depth), atol=1e-5)
+    assert (depth < depth_mod.MAX_DEPTH).sum() > 0
+
+    # 2) halo exchange across the process boundary: patches from process-0
+    # shards (devices 0-3) target process-1 shards (devices 4-7) and back
+    payload = np.zeros((B, 4), np.float32)
+    payload[:, 0] = np.arange(B)
+    blocks = (np.arange(B) % 8).astype(np.int32)
+    blocks = ((blocks + 4) % 8).astype(np.int32)  # everyone sends across
+    recv, valid, dropped = pmesh.make_halo_exchange(mesh, 8, B // 8)(
+        g(blocks), g(payload))
+    lv = gather(valid)
+    lr = gather(recv)
+    assert int(dropped) == 0
+    got = sorted(lr[lv][:, 0].astype(int).tolist())
+    assert got == list(range(B)), got
+
+    # 3) termination psum across both processes (each of the 8 shards holds
+    # its own queue count; the psum must see all of them)
+    counts = np.arange(1, 9, dtype=np.int32)
+    total = pmesh.have_work_psum(mesh, g(counts))
+    assert total == 36, total
+
+    print(f"MULTIHOST_OK pid={PID} accepted={int(ok.sum())} "
+          f"depth_cells={int((depth < depth_mod.MAX_DEPTH).sum())}")
+
+
+if __name__ == "__main__":
+    main()
