@@ -313,6 +313,29 @@ class LinearOctree:
             out[m] = res
         return out
 
+    def reroot(self, direction: np.ndarray) -> None:
+        """Grow the root cube by one level: the old root becomes one octant
+        of a doubled root (cheap for a linear octree -- every key gains the
+        octant bits at its top, doctree has no equivalent; reference
+        behavior was to DROP outside-root patches, CellProcessor.cpp:147).
+
+        direction[axis] >= 0 grows toward +axis (old root sits in the low
+        octant there), < 0 toward -axis (old root in the high octant).
+        Cell ids are stable; every cell's level increases by exactly 1, so
+        callers must shift any level-derived priorities by +10."""
+        d = np.where(np.asarray(direction, np.float64) >= 0, 1.0, -1.0)
+        ob = (d < 0).astype(np.uint64)          # 1 = old root in high half
+        okey = morton_encode(ob[0:1], ob[1:2], ob[2:3])[0]
+        lv = self.level[:self.n].astype(np.uint64)
+        self.key[:self.n] |= okey << (np.uint64(3) * lv)
+        self.level[:self.n] += 1
+        assert int(self.level[:self.n].max(initial=0)) <= MAX_LEVELS - 1, \
+            "reroot would exceed the morton bit budget"
+        self.center = self.center + d * self.width / 2.0
+        self.width *= 2.0
+        self.max_level = min(self.max_level + 1, MAX_LEVELS - 1)
+        self._index = None
+
     def level_for_width(self, widths: np.ndarray) -> np.ndarray:
         """Level reached by add(e, width): split while leaf_width/2 > width
         (doctree.h:383) => smallest L with rootW/2^(L+1) <= width."""

@@ -9,9 +9,12 @@ prefix of the new packing), and new SfM points seed into the EXISTING octree
 filter pass resolves, exactly like colliding seeds in the reference's
 add() (doctree.h:378-394).
 
-Limits (documented): the octree root cube is fixed by the first chunk's
-seeds; later points outside it are dropped (the reference's border handling
-drops outside-root patches the same way, CellProcessor.cpp:533-540).
+The octree root cube grows on demand: seeds outside the current cube
+trigger a linear-octree reroot (every Morton key gains one level; queue
+priorities shift +10), so a scene growing spatially keeps reconstructing --
+capability beyond the reference, which drops outside-root patches
+(CellProcessor.cpp:147). Each reroot deepens all levels by one, trading
+one step of the finest resolution against the doubled extent.
 """
 
 from __future__ import annotations
@@ -109,12 +112,24 @@ class StreamingEngine:
             return 0
         oc, on, os_, ov, ok, col, _ = eng._optimize(c, n, s, v)
         drift = np.linalg.norm(oc - orig, axis=1) <= os_ * opt.SEED_DRIFT
-        inside = eng.tree.contains(oc)
-        keep = ok & drift & inside
-        dropped_outside = int((ok & drift & ~inside).sum())
-        if dropped_outside:
-            log.info("streaming: dropped %d seeds outside the root cube",
-                     dropped_outside)
+        keep = ok & drift
+        # grow the root cube toward seeds outside it (linear-octree reroot:
+        # keys shift one level, queue priorities shift +10; the reference
+        # would drop them, CellProcessor.cpp:147)
+        for _ in range(12):
+            outside = keep & ~eng.tree.contains(oc)
+            if not outside.any():
+                break
+            delta = oc[outside] - eng.tree.center
+            direction = np.sign(np.sum(np.sign(delta), axis=0))
+            eng.reroot_tree(direction)
+            log.info("streaming: rerooted tree to width %.3f for %d "
+                     "outside seeds", eng.tree.width, int(outside.sum()))
+        still_out = keep & ~eng.tree.contains(oc)
+        if still_out.any():
+            log.warning("streaming: dropped %d seeds still outside after "
+                        "rerooting", int(still_out.sum()))
+            keep &= ~still_out
         if keep.sum() == 0:
             return 0
         c, n, s, v, col = oc[keep], on[keep], os_[keep], ov[keep], col[keep]

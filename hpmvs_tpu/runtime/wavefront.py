@@ -916,6 +916,17 @@ class Engine:
         self.stats["branched"] += len(acc)
 
     # ------------------------------------------------------------------
+    def reroot_tree(self, direction: np.ndarray):
+        """Grow the root cube one level toward `direction` (streaming seeds
+        outside the cube). Every cell level shifts +1, so queued priorities
+        shift +10 to keep prio = (level + prio_red)*10 + phase consistent."""
+        self.tree.reroot(direction)
+        old = dict(self.queue)
+        self.queue = defaultdict(list)
+        for pr, chunks in old.items():
+            self.queue[pr + 10] = chunks
+        self.stats["reroots"] += 1
+
     def have_work(self) -> bool:
         return bool(self.queue)
 

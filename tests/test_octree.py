@@ -97,3 +97,35 @@ def test_patch_store_growth():
     ps.free(ids1)
     assert not ps.alive[ids1].any()
     assert (ps.views[ids1] == -1).all()
+
+
+def test_reroot_preserves_cells():
+    """reroot doubles the cube; every cell keeps its geometry (center,
+    width) and stays query-consistent at level+1."""
+    from hpmvs_tpu.core.octree import LinearOctree
+    rng = np.random.default_rng(7)
+    tree = LinearOctree(np.zeros(3), 2.0, max_level=10)
+    pts = rng.random((40, 3)) * 1.8 - 0.9
+    lv = rng.integers(2, 6, 40).astype(np.int64)
+    keys = np.zeros(40, np.uint64)
+    for L in np.unique(lv):
+        m = lv == L
+        keys[m] = tree.key_at(pts[m], int(L))
+    _, uniq = np.unique(np.stack([lv.astype(np.uint64), keys]), axis=1,
+                        return_index=True)
+    lv, keys, pts = lv[uniq], keys[uniq], pts[uniq]
+    cids = tree.alloc_cells(lv.astype(np.int8), keys)
+    cc0, cw0 = tree.cell_center_width(cids)
+    own0 = tree.containing_cell(pts)
+
+    for direction in ([1, 1, 1], [-1, 1, -1]):
+        tree.reroot(np.asarray(direction, np.float64))
+    assert tree.width == 8.0
+    cc1, cw1 = tree.cell_center_width(cids)
+    np.testing.assert_allclose(cc1, cc0, atol=1e-12)
+    np.testing.assert_allclose(cw1, cw0, atol=1e-12)
+    np.testing.assert_array_equal(tree.level[cids], lv + 2)
+    np.testing.assert_array_equal(tree.containing_cell(pts), own0)
+    # old root is inside the new cube, new corners are new territory
+    assert tree.contains(np.asarray([[0.0, 0.0, 0.0]]))[0]
+    assert tree.containing_cell(np.asarray([[3.5, 3.5, 3.5]]))[0] == -1

@@ -111,3 +111,53 @@ def test_merge_models_offsets():
     assert merged.meas_img.max() < 5
     # CSR consistency
     assert merged.meas_start[-1] == len(merged.meas_img)
+
+
+def _sort_points_by_x(m):
+    """Permute a model's points by ascending x (CSR re-pack)."""
+    order = np.argsort(m.points_xyz[:, 0])
+    starts = np.zeros(m.n_points + 1, np.int64)
+    mi, mf, mx = [], [], []
+    for k, ii in enumerate(order):
+        s, e = m.meas_start[ii], m.meas_start[ii + 1]
+        starts[k + 1] = starts[k] + e - s
+        mi.extend(m.meas_img[s:e])
+        mf.extend(m.meas_feat[s:e])
+        mx.extend(m.meas_xy[s:e])
+    return dataclasses.replace(
+        m, points_xyz=m.points_xyz[order], points_rgb=m.points_rgb[order],
+        meas_start=starts, meas_img=np.asarray(mi, np.int32),
+        meas_feat=np.asarray(mf, np.int32),
+        meas_xy=np.asarray(mx).reshape(-1, 2))
+
+
+def test_streaming_reroots_outside_cube():
+    """A second chunk lying outside the first chunk's root cube grows the
+    cube (linear-octree reroot) instead of being dropped (VERDICT item 9;
+    the reference drops outside-root patches, CellProcessor.cpp:147)."""
+    scene = make_plane_scene(n_cams=7, imgsize=256, n_points=120, seed=5)
+    scene = dataclasses.replace(scene, model=_sort_points_by_x(scene.model))
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=10, MAX_TREE_LEVEL=7,
+                              PATCH_FINAL_MINLEVEL=4, LM_ITERS=8)
+    # chunk 1: left-half points (x < 0) -> small root cube on the left
+    first, second = _split_model(scene, cam_split=4, pt_split=60)
+
+    se = StreamingEngine(opt)
+    n1 = se.add_chunk(first, images=scene.images[:4])
+    assert n1 > 10
+    se.run_to(45)
+    width_before = se.engine.tree.width
+    x_max_before = se.engine.alive_arrays()[0][:, 0].max()
+
+    n2 = se.add_chunk(second, images=scene.images[4:])
+    assert n2 > 5
+    assert se.engine.stats["reroots"] >= 1
+    assert se.engine.tree.width > width_before
+    eng = se.run_to(opt.max_prio - 1)
+
+    c = eng.alive_arrays()[0]
+    # the right half reconstructed beyond the original cube's reach
+    assert c[:, 0].max() > x_max_before + 0.1
+    err = np.abs(c[:, 2] - scene.plane_z)
+    assert np.median(err) < 0.02
