@@ -422,6 +422,162 @@ def make_occlusion_scene(
     return scene
 
 
+def make_facade_scene(
+    n_cams: int = 11,
+    imgsize: int = 256,
+    n_points: int = 200,
+    extent: float = 1.0,
+    slope: float = 0.55,
+    cam_dist: float = 3.5,
+    arc_deg: float = 110.0,
+    k1_pattern=(0.25, -0.18, 0.2, -0.12, 0.15),
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+) -> PlaneScene:
+    """Strecha-fountain-like scene: a convex building corner (two textured
+    faces z = slope*|x| meeting at the ridge x=0, which is the closest line
+    to the cameras), observed by a wide arc of 10+ cameras whose images are
+    rendered WITH VisualSFM radial distortion (per-camera k1, both signs).
+
+    This is the hardest synthetic config: wide baselines, a self-occluding
+    silhouette (the ridge hides part of the far face from oblique views),
+    and nonzero k1 end-to-end -- the full pipeline must undistort before
+    reconstructing (Image.cpp:68-149 model: undistorted = d*(1+k1*|d|^2) in
+    normalized coords, rendered forward here, inverted by
+    image/pyramid.undistort_vsfm).
+
+    Ground-truth distance of a point p to the surface:
+    |p.z - slope*|p.x|| / sqrt(1+slope^2). Returns PlaneScene with
+    plane_z=0.0 (unused); extra attrs slope, k1s.
+    """
+    rng = np.random.default_rng(seed)
+    f = imgsize * 1.2
+    tex_size = 1024
+    tex_l = smooth_texture(rng, tex_size, cells=20)
+    tex_r = smooth_texture(rng, tex_size, cells=20)
+
+    def face_tex(x, y, left):
+        t = tex_l if left else tex_r
+        return _tex_bilinear(t, tex_size, x / extent, y / extent)
+
+    def ray_hit(eye, d):
+        """First intersection with z = slope*|x| (two half-planes).
+        Returns (t, px, py, left_mask, hit)."""
+        best_t = np.full(d.shape[:-1], np.inf)
+        best_left = np.zeros(d.shape[:-1], bool)
+        for left in (True, False):
+            s = -slope if left else slope
+            den = d[..., 2] - s * d[..., 0]
+            den = np.where(np.abs(den) < 1e-12, 1e-12, den)
+            t = (s * eye[0] - eye[2]) / den
+            px = eye[0] + t * d[..., 0]
+            py = eye[1] + t * d[..., 1]
+            okx = (px <= 0) if left else (px >= 0)
+            ok = (t > 0.1) & okx & (np.abs(px) <= extent) \
+                & (np.abs(py) <= extent)
+            closer = ok & (t < best_t)
+            best_t = np.where(closer, t, best_t)
+            best_left = np.where(closer, left, best_left)
+        hit = np.isfinite(best_t)
+        tt = np.where(hit, best_t, 1.0)
+        return tt, eye[0] + tt * d[..., 0], eye[1] + tt * d[..., 1], \
+            best_left, hit
+
+    cameras, images, k1s = [], [], []
+    angles = np.linspace(-np.deg2rad(arc_deg) / 2, np.deg2rad(arc_deg) / 2,
+                         n_cams)
+    for ci, a in enumerate(angles):
+        eye = np.array([cam_dist * np.sin(a), 0.35 * np.sin(2.7 * a),
+                        -cam_dist * np.cos(a)])
+        R = _lookat(eye, np.array([0.0, 0.0, 0.35]))
+        q = _rot_to_quat(R)
+        k1 = float(k1_pattern[ci % len(k1_pattern)])
+        k1s.append(k1)
+
+        # render the DISTORTED image: distorted pixel d -> undistorted ray
+        # direction u = d * (1 + k1 |d|^2) (the model undistort_vsfm inverts)
+        uu, vv = np.meshgrid(np.arange(imgsize), np.arange(imgsize))
+        xd = (uu - imgsize / 2.0) / f
+        yd = (vv - imgsize / 2.0) / f
+        fac = 1.0 + k1 * (xd * xd + yd * yd)
+        d_cam = np.stack([xd * fac, yd * fac,
+                          np.ones_like(xd, dtype=np.float64)], axis=-1)
+        d_world = d_cam @ R
+        _, px, py, left, hit = ray_hit(eye, d_world)
+        img = np.where(left[..., None], face_tex(px, py, True),
+                       face_tex(px, py, False))
+        img = np.clip(img + 0.5, 0, 255).astype(np.uint8)
+        img[~hit] = 8
+
+        name = f"facade{ci:02d}.png"
+        if out_dir is not None:
+            from PIL import Image as PILImage
+            os.makedirs(out_dir, exist_ok=True)
+            name = os.path.join(out_dir, name)
+            PILImage.fromarray(img).save(name)
+        cameras.append(nvm_io.NvmCamera(filename=name, f=f, rq=q,
+                                        c=eye.copy(), r=k1))
+        images.append(img)
+
+    # SfM points on both faces; visibility honors the self-occluding ridge
+    pts = np.zeros((n_points, 3))
+    pts[:, 0] = rng.uniform(-0.8 * extent, 0.8 * extent, n_points)
+    pts[:, 1] = rng.uniform(-0.8 * extent, 0.8 * extent, n_points)
+    pts[:, 2] = slope * np.abs(pts[:, 0])
+    pts[:, 2] += rng.normal(0, 0.002, n_points)
+
+    Rs = [_quatR(c.rq) for c in cameras]
+
+    def visible(p, cam, R):
+        pc = R @ (p - cam.c)
+        if pc[2] <= 0:
+            return None
+        u = f * pc[0] / pc[2] + imgsize / 2.0
+        v = f * pc[1] / pc[2] + imgsize / 2.0
+        if not (12 <= u < imgsize - 12 and 12 <= v < imgsize - 12):
+            return None
+        # occluded if the camera->p ray hits the wedge clearly before p
+        d = (p - cam.c)[None, None, :]
+        t, _, _, _, hit = ray_hit(cam.c, d)
+        if hit[0, 0] and t[0, 0] < 1.0 - 5e-3:
+            return None
+        return u, v
+
+    rgb = np.zeros((n_points, 3))
+    m_img, m_feat, m_xy = [], [], []
+    starts = np.zeros(n_points + 1, dtype=np.int64)
+    for ii in range(n_points):
+        cnt = 0
+        for ci, cam in enumerate(cameras):
+            uv = visible(pts[ii], cam, Rs[ci])
+            if uv is None:
+                continue
+            m_img.append(ci)
+            m_feat.append(ii)
+            m_xy.append((uv[0] - imgsize / 2.0, uv[1] - imgsize / 2.0))
+            cnt += 1
+        starts[ii + 1] = starts[ii] + cnt
+        rgb[ii] = 128
+
+    model = nvm_io.NvmModel(
+        cameras=cameras, points_xyz=pts, points_rgb=rgb, meas_start=starts,
+        meas_img=np.asarray(m_img, dtype=np.int32),
+        meas_feat=np.asarray(m_feat, dtype=np.int32),
+        meas_xy=(np.asarray(m_xy, dtype=np.float64).reshape(-1, 2)
+                 if m_xy else np.zeros((0, 2))))
+    scene = PlaneScene(model=model, images=images, plane_z=0.0,
+                       extent=extent, f=f, imgsize=imgsize)
+    scene.slope = slope       # type: ignore[attr-defined]
+    scene.k1s = k1s           # type: ignore[attr-defined]
+    return scene
+
+
+def facade_surface_dist(pts: np.ndarray, slope: float) -> np.ndarray:
+    """Distance of points to the z = slope*|x| wedge surface."""
+    return (np.abs(pts[:, 2] - slope * np.abs(pts[:, 0]))
+            / np.sqrt(1.0 + slope * slope))
+
+
 def _tex_bilinear(tex, tex_size, u, v):
     """Sample a texture grid with normalized coords in [-1, 1]."""
     uu = np.clip((np.asarray(u) * 0.5 + 0.5) * (tex_size - 1), 0,
