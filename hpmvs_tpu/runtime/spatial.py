@@ -39,7 +39,7 @@ the multi-host follow-up (parallel/mesh.init_distributed).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -70,7 +70,15 @@ class SpatialEngine(Engine):
         self._halo_fns: Dict[Tuple[int, int], object] = {}
 
     # ------------------------------------------------------------------
-    # block assignment
+    # block assignment: equal contiguous Morton-key ranges.
+    #
+    # Measured alternative (SCALING.md): occupancy-weighted quantile splits
+    # (the getSubTrees leaf-richest analog, main.cpp:50-96) did NOT improve
+    # per-dispatch balance (0.497 vs 0.539 on the plane scene) because the
+    # active wavefront is spatially clustered -- a static split cannot
+    # balance a moving front -- while the boundaries bisecting the occupied
+    # mass raised migration volume 15% and order-divergence with it. Equal
+    # ranges win on both axes and need no split state.
     # ------------------------------------------------------------------
     def block_of_points(self, pts: np.ndarray) -> np.ndarray:
         """Contiguous Morton-range partition of the root cube: block =
@@ -134,6 +142,9 @@ class SpatialEngine(Engine):
                 outs[j][idx] = res[j][pos[m]]
         self.stats["block_work_lanes"] += N
         self.stats["block_pad_lanes"] += B * rounds - N
+        # imbalance alone (before bucket rounding): ideal equal-split lanes
+        # vs the max block's lanes -- the spatial-decomposition efficiency
+        self.stats["block_balance_den"] += self.n_blocks * maxc
         return tuple(outs)
 
     def _optimize(self, centers, normals, scales, views):
@@ -221,6 +232,12 @@ class SpatialEngine(Engine):
         valid = np.asarray(valid)
         self.stats["migrated"] += len(idx)
         self.stats["halo_dropped"] += int(dropped)
+        # wire accounting for the scaling model (SCALING.md): logical patch
+        # payload vs the padded all_to_all buffer actually moved
+        self.stats["halo_bytes_logical"] += len(idx) * D * 4
+        self.stats["halo_bytes_wire"] += self.n_blocks * self.n_blocks \
+            * lanes * D * 4
+        self.stats["halo_rounds"] += 1
 
         a = np.nonzero(valid)[0]
         if len(a) == 0:
@@ -229,8 +246,10 @@ class SpatialEngine(Engine):
         # reference semantics: border arrivals skip regularization
         # (flatness_=0, CellProcessor.cpp:513-514) and are marked dirty so
         # initFromTree re-queues them (CellProcessor.cpp:443)
-        return self._insert_new_patches(
+        n_ins = self._insert_new_patches(
             r[:, 0:3], r[:, 3:6], r[:, 6], r[:, self._HDR:].astype(np.int32),
             np.ones(len(a), bool), r[:, 7:10],
             r[:, 10].astype(np.int64), r[:, 11].astype(np.int32),
             flatness=0.0, dirty=True)
+        self.stats["migrated_inserted"] += n_ins
+        return n_ins
