@@ -45,20 +45,30 @@ def init_distributed(coordinator: Optional[str] = None,
     are None; single-process environments return without touching anything.
     After this, make_mesh() sees every chip in the slice and all collectives
     (halo all_to_all, depth pmin, termination psum) ride ICI/DCN."""
+    import logging
     import os
     explicit = coordinator is not None
-    auto = any(k in os.environ for k in
+    auto = any(os.environ.get(k) for k in
                ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                "MEGASCALE_COORDINATOR_ADDRESS",
-                # TPU pod-slice launchers set these; initialize() with no
-                # args then auto-detects the cluster
-                "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID"))
+                "MEGASCALE_COORDINATOR_ADDRESS"))
+    # TPU pod-slice launchers set TPU_WORKER_HOSTNAMES; initialize() with no
+    # args then auto-detects the cluster. A single-hostname value (also set
+    # by single-chip runtimes, e.g. the axon tunnel) is NOT a pod slice.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    auto = auto or len([h for h in hosts.split(",") if h.strip()]) > 1
     if explicit or auto:
         kw = {}
         if explicit:
             kw = dict(coordinator_address=coordinator,
                       num_processes=num_processes, process_id=process_id)
-        jax.distributed.initialize(**kw)
+        try:
+            jax.distributed.initialize(**kw)
+        except (ValueError, RuntimeError) as e:
+            if explicit:
+                raise
+            logging.getLogger(__name__).warning(
+                "jax.distributed auto bring-up failed (%s); continuing "
+                "single-process", e)
     return len(jax.devices())
 
 

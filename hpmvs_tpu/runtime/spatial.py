@@ -39,6 +39,7 @@ the multi-host follow-up (parallel/mesh.init_distributed).
 
 from __future__ import annotations
 
+import time
 from typing import Dict, Tuple
 
 import numpy as np
@@ -106,12 +107,16 @@ class SpatialEngine(Engine):
     # ------------------------------------------------------------------
     # block-major device layout
     # ------------------------------------------------------------------
-    def _blockwise(self, blocks: np.ndarray, arrays, fills, call, n_out):
-        """Dispatch `arrays` (leading dim N) through `call` in block-major
-        layout: each block owns an equal Lseg-lane segment, so the
-        ('dp','sp') batch sharding places block b's work on shard b. Blocks
-        with more than Lseg items run in multiple rounds. Outputs return in
-        the original item order."""
+    def _blockwise(self, blocks: np.ndarray, arrays, fills, dispatch, n_out):
+        """Dispatch `arrays` (leading dim N) through the async `dispatch`
+        callable in block-major layout: each block owns an equal Lseg-lane
+        segment, so the ('dp','sp') batch sharding places block b's work on
+        shard b. Blocks with more than Lseg items run in multiple rounds;
+        every round's dispatch is enqueued before the single blocking fetch
+        (rounds have no host-side interdependency -- the depth pack threads
+        on device), so round compute overlaps. Outputs return in the
+        original item order."""
+        import jax
         N = len(blocks)
         order = np.argsort(blocks, kind="stable")
         counts = np.bincount(blocks, minlength=self.n_blocks)
@@ -127,6 +132,8 @@ class SpatialEngine(Engine):
 
         B = self.n_blocks * lseg
         outs = [None] * n_out
+        t0 = time.time()
+        devs, metas = [], []
         for r in range(rounds):
             m = rnd == r
             idx = order[m]
@@ -135,11 +142,15 @@ class SpatialEngine(Engine):
                 buf = np.full((B,) + a.shape[1:], fill, a.dtype)
                 buf[pos[m]] = a[idx]
                 padded.append(buf)
-            res = call(*padded)
+            devs.append(dispatch(*padded))
+            metas.append((idx, pos[m]))
+        got = jax.device_get(devs)
+        self.stats["t_device"] += time.time() - t0
+        for res, (idx, pm) in zip(got, metas):
             for j in range(n_out):
                 if outs[j] is None:
                     outs[j] = np.empty((N,) + res[j].shape[1:], res[j].dtype)
-                outs[j][idx] = res[j][pos[m]]
+                outs[j][idx] = np.asarray(res[j])[pm]
         self.stats["block_work_lanes"] += N
         self.stats["block_pad_lanes"] += B * rounds - N
         # imbalance alone (before bucket rounding): ideal equal-split lanes
@@ -153,7 +164,7 @@ class SpatialEngine(Engine):
             return super()._optimize(centers, normals, scales, views)
         blocks = self.block_of_points(centers)
         res = self._blockwise(blocks, (centers, normals, scales, views),
-                              (0.0, 0.0, 0.0, -1), self._call_optimize, 7)
+                              (0.0, 0.0, 0.0, -1), self._dispatch_optimize, 7)
         self.stats["patches_optimized"] += centers.shape[0]
         return res
 
@@ -162,7 +173,7 @@ class SpatialEngine(Engine):
         blocks = self.block_of_points(centers)
         res = self._blockwise(
             blocks, (centers, normals, scales, views, parent_c, widths),
-            (0.0, 0.0, 0.0, -1, 0.0, 1.0), self._call_extend, 6)
+            (0.0, 0.0, 0.0, -1, 0.0, 1.0), self._dispatch_extend, 6)
         self.stats["patches_optimized"] += centers.shape[0]
         return res
 

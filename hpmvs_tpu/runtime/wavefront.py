@@ -183,34 +183,48 @@ class Engine:
         n = centers.shape[0]
         cap = max(self.opt.BATCH, 16)
         if n > cap:
-            outs = []
+            # software pipeline: enqueue EVERY chunk's dispatch before the
+            # first blocking fetch -- JAX dispatch is async, so chunk i+1's
+            # compute (and this sandbox's per-RPC floor) overlaps chunk i's.
+            # Routing only consumes the concatenated result, so semantics
+            # are unchanged (SCALING.md: lookahead hides host/dispatch cost).
+            import jax
+            t0 = time.time()
+            devs, lens = [], []
             for i in range(0, n, cap):
-                outs.append(self._optimize(centers[i:i + cap],
-                                           normals[i:i + cap],
-                                           scales[i:i + cap],
-                                           views[i:i + cap]))
-            return tuple(np.concatenate([o[j] for o in outs])
+                m = min(cap, n - i)
+                devs.append(self._dispatch_optimize(
+                    *self._pad_chunk((centers[i:i + cap], normals[i:i + cap],
+                                      scales[i:i + cap], views[i:i + cap]),
+                                     (0.0, 0.0, 0.0, -1), m)))
+                lens.append(m)
+            got = jax.device_get(devs)  # one transfer for all chunks
+            self.stats["t_device"] += time.time() - t0
+            self.stats["patches_optimized"] += n
+            return tuple(np.concatenate([np.array(g[j])[:m]
+                                         for g, m in zip(got, lens)])
                          for j in range(7))
-        b = min(_bucket(n), cap)
-        if self.mesh is not None:
-            ms = int(self.mesh.devices.size)
-            b = -(-b // ms) * ms
-
-        def pad(a, fill=0.0):
-            out = np.full((b,) + a.shape[1:], fill, a.dtype)
-            out[:n] = a
-            return out
-
-        res = self._call_optimize(pad(centers), pad(normals), pad(scales),
-                                  pad(views, -1))
+        res = self._call_optimize(*self._pad_chunk(
+            (centers, normals, scales, views), (0.0, 0.0, 0.0, -1), n))
         self.stats["patches_optimized"] += n
         return tuple(x[:n] for x in res)
 
-    def _call_optimize(self, centers, normals, scales, views):
-        """Raw device dispatch of the batched optimizer on an already
-        padded/shaped batch. Returns 7 writable np arrays of full length."""
-        import jax
-        t0 = time.time()
+    def _pad_chunk(self, arrays, fills, n):
+        """Pad a <=BATCH chunk to its bucketed (mesh-divisible) shape."""
+        b = min(_bucket(n), max(self.opt.BATCH, 16))
+        if self.mesh is not None:
+            ms = int(self.mesh.devices.size)
+            b = -(-b // ms) * ms
+        out = []
+        for a, fill in zip(arrays, fills):
+            buf = np.full((b,) + a.shape[1:], fill, a.dtype)
+            buf[:n] = a[:n]
+            out.append(buf)
+        return tuple(out)
+
+    def _dispatch_optimize(self, centers, normals, scales, views):
+        """Enqueue the batched-optimizer dispatch on an already padded batch;
+        returns DEVICE arrays without blocking (async JAX dispatch)."""
         args = (jnp.asarray(centers), jnp.asarray(normals),
                 jnp.asarray(scales), jnp.asarray(views))
         if self.mesh is not None:
@@ -221,9 +235,17 @@ class Engine:
             res = self._sharded_fn(*args)
         else:
             res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
-        res = jax.device_get(res)  # one transfer for all outputs
-        self.stats["t_device"] += time.time() - t0
         self.stats["dispatches"] += 1
+        return res
+
+    def _call_optimize(self, centers, normals, scales, views):
+        """Raw device dispatch of the batched optimizer on an already
+        padded/shaped batch. Returns 7 writable np arrays of full length."""
+        import jax
+        t0 = time.time()
+        res = jax.device_get(self._dispatch_optimize(
+            centers, normals, scales, views))
+        self.stats["t_device"] += time.time() - t0
         return tuple(np.array(x) for x in res)  # writable
 
     def _set_depths(self, pids: np.ndarray, subtract: bool = False):
@@ -293,42 +315,40 @@ class Engine:
     def _extend_compute(self, centers, normals, scales, views, parent_c,
                         widths):
         """Fused optimize + extend gates (one device call), bucketed/chunked
-        like _optimize."""
+        like _optimize. Chunks pipeline: all dispatches are enqueued before
+        the single blocking fetch (the depth pack threads chunk-to-chunk on
+        device, so no host sync is needed between chunks)."""
         n = centers.shape[0]
         cap = max(self.opt.BATCH, 16)
+        fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
         if n > cap:
-            outs = []
+            import jax
+            t0 = time.time()
+            devs, lens = [], []
             for i in range(0, n, cap):
-                outs.append(self._extend_compute(
-                    centers[i:i + cap], normals[i:i + cap],
-                    scales[i:i + cap], views[i:i + cap],
-                    parent_c[i:i + cap], widths[i:i + cap]))
-            return tuple(np.concatenate([o[j] for o in outs])
+                m = min(cap, n - i)
+                devs.append(self._dispatch_extend(*self._pad_chunk(
+                    (centers[i:i + cap], normals[i:i + cap],
+                     scales[i:i + cap], views[i:i + cap],
+                     parent_c[i:i + cap], widths[i:i + cap]), fills, m)))
+                lens.append(m)
+            got = jax.device_get(devs)
+            self.stats["t_device"] += time.time() - t0
+            self.stats["patches_optimized"] += n
+            return tuple(np.concatenate([np.array(g[j])[:m]
+                                         for g, m in zip(got, lens)])
                          for j in range(6))
-        b = min(_bucket(n), cap)
-        if self.mesh is not None:
-            ms = int(self.mesh.devices.size)
-            b = -(-b // ms) * ms
-
-        def pad(a, fill=0.0):
-            out = np.full((b,) + a.shape[1:], fill, a.dtype)
-            out[:n] = a
-            return out
-
-        res = self._call_extend(pad(centers), pad(normals), pad(scales),
-                                pad(views, -1), pad(parent_c),
-                                pad(widths, 1.0))
+        res = self._call_extend(*self._pad_chunk(
+            (centers, normals, scales, views, parent_c, widths), fills, n))
         self.stats["patches_optimized"] += n
         return tuple(x[:n] for x in res)
 
-    def _call_extend(self, centers, normals, scales, views, parent_c,
-                     widths):
-        """Raw device dispatch of the fused optimize+gate step on an already
-        padded/shaped batch. Deferred depth adds ride along (pend_*) and the
-        updated z-buffer comes back on-device -- ONE dispatch for
-        optimize + gates + setDepths. Returns 6 writable np arrays."""
-        import jax
-        t0 = time.time()
+    def _dispatch_extend(self, centers, normals, scales, views, parent_c,
+                         widths):
+        """Enqueue the fused optimize+gate dispatch on an already padded
+        batch; returns DEVICE arrays without blocking. Deferred depth adds
+        ride along (pend_*) and the updated z-buffer stays on-device --
+        ONE dispatch for optimize + gates + setDepths."""
         pend = self._take_pending()
         args = (jnp.asarray(centers), jnp.asarray(normals),
                 jnp.asarray(scales), jnp.asarray(views),
@@ -364,9 +384,18 @@ class Engine:
                 res = popt.optimize_and_gate(
                     self.scene.ctx, self.pack, self.opt,
                     self.scene.n_cameras, *args)
-        res = jax.device_get(res)
-        self.stats["t_device"] += time.time() - t0
         self.stats["dispatches"] += 1
+        return res
+
+    def _call_extend(self, centers, normals, scales, views, parent_c,
+                     widths):
+        """Blocking dispatch+fetch of the fused optimize+gate step on an
+        already padded/shaped batch. Returns 6 writable np arrays."""
+        import jax
+        t0 = time.time()
+        res = jax.device_get(self._dispatch_extend(
+            centers, normals, scales, views, parent_c, widths))
+        self.stats["t_device"] += time.time() - t0
         return tuple(np.array(x) for x in res)
 
     def _empty_pending(self):
