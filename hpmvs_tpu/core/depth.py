@@ -115,6 +115,40 @@ def set_depths(pack: DepthPack, cams, centers, scales, views,
         return pack._replace(depth=new)
 
 
+def apply_phased_updates(pack: DepthPack, cams, centers, scales, views,
+                         phase, subsample: int = 2) -> DepthPack:
+    """Ordered batch of deferred setDepths updates in ONE pass: phase 0
+    adds (scatter-min), then phase 1 subtracts (reset-to-MAX-if-equal,
+    Scene.cpp:369-379), then phase 2 adds. Phase runs reproduce the
+    sequential add*/sub*/add* order the engine deferred; entries project
+    once (idx/d shared across phases). NOT jitted -- embeddable in fused
+    dispatches (ops.optimizer.optimize_and_gate); see apply_depth_updates
+    for the standalone jitted flush."""
+    idx, d, valid = _patch_view_cells(pack, cams, centers, scales, views,
+                                      subsample)
+    idx = idx.reshape(-1)
+    d = d.reshape(-1)
+    K = views.shape[1]
+    ph = jnp.repeat(phase, K)
+    valid = valid.reshape(-1)
+    depth = pack.depth
+    depth = depth.at[idx].min(jnp.where(valid & (ph == 0), d, jnp.inf))
+    hit = valid & (ph == 1) & (depth[idx] == d)
+    depth = depth.at[jnp.where(hit, idx, 0)].max(
+        jnp.where(hit, MAX_DEPTH, -jnp.inf))
+    depth = depth.at[idx].min(jnp.where(valid & (ph == 2), d, jnp.inf))
+    return pack._replace(depth=depth)
+
+
+@functools.partial(jax.jit, static_argnames=("subsample",))
+def apply_depth_updates(pack: DepthPack, cams, centers, scales, views,
+                        phase, subsample: int = 2) -> DepthPack:
+    """Jitted standalone flush of deferred phased depth updates -- one
+    dispatch replacing the former flush-adds + subtract pair."""
+    return apply_phased_updates(pack, cams, centers, scales, views, phase,
+                                subsample)
+
+
 def get_depth_at_level(pack: DepthPack, ci, x, y, level, subsample: int = 2):
     """Scene::getDetphAtLevel (Scene.cpp:383-404)."""
     xs = x // subsample

@@ -1076,16 +1076,17 @@ def _optimize_all(ctx, opt: Options, center, normal, scale, views):
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))
 def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
                       center, normal, scale, views, parent_c, widths,
-                      pend_c=None, pend_s=None, pend_v=None):
+                      pend_c=None, pend_s=None, pend_v=None, pend_ph=None):
     """Fused extend-candidate compute: optimize + every acceptance gate of
     CellProcessor::extend (:130-142) -- scale window, drift, depthTests,
     viewBlockTest, pixelFreeTests -- in ONE device dispatch.
 
-    pend_c/pend_s/pend_v: deferred setDepths writes of patches accepted
-    since the last dispatch (-1-padded views). They scatter-min into the
-    z-buffer BEFORE the gates run, folding the engine's separate set_depths
-    dispatch into this one (same freshness: the reference interleaves
-    setDepths between cells, we between batches).
+    pend_c/pend_s/pend_v/pend_ph: deferred setDepths updates (adds AND
+    subtracts, phase-tagged 0=add/1=sub/2=add-after-sub, -1-padded views)
+    accumulated since the last dispatch. They apply to the z-buffer in
+    deferred order BEFORE the gates run, folding the engine's separate
+    set_depths dispatches into this one (same freshness: the reference
+    interleaves setDepths between cells, we between batches).
 
     Returns (center', normal', scale', views', ok, color[, new_depth when
     pending was passed])."""
@@ -1093,12 +1094,11 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
 
     has_pend = pend_c is not None
     if has_pend:
-        idx, d, valid = depth_mod._patch_view_cells(
-            pack, ctx.cams, pend_c, pend_s, pend_v, opt.DEPTH_SUBSAMPLE)
-        new_depth = pack.depth.at[
-            jnp.where(valid, idx, 0).reshape(-1)].min(
-            jnp.where(valid, d, jnp.inf).reshape(-1))
-        pack = pack._replace(depth=new_depth)
+        if pend_ph is None:
+            pend_ph = jnp.zeros(pend_c.shape[0], jnp.int32)
+        pack = depth_mod.apply_phased_updates(
+            pack, ctx.cams, pend_c, pend_s, pend_v, pend_ph,
+            opt.DEPTH_SUBSAMPLE)
 
     oc, on, os_, ov, ok, col, _ = _optimize_all(ctx, opt, center, normal,
                                                 scale, views)

@@ -165,16 +165,16 @@ def sharded_optimize_and_gate(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
     replicated). Deferred setDepths writes (pend_*, replicated) scatter-min
     into every shard's replica before the gates, and the updated depth
     returns replicated. Batch must be a multiple of the mesh size."""
-    def body(c, n, s, v, pc, w, depth, pend_c, pend_s, pend_v):
+    def body(c, n, s, v, pc, w, depth, pend_c, pend_s, pend_v, pend_ph):
         local = pack._replace(depth=depth)
         return popt.optimize_and_gate.__wrapped__(
             ctx, local, opt, n_images, c, n, s, v, pc, w,
-            pend_c, pend_s, pend_v)
+            pend_c, pend_s, pend_v, pend_ph)
 
     spec = P(("dp", "sp"))
     fn = shard_map(body, mesh=mesh,
                    in_specs=(spec, spec, spec, spec, spec, spec, P(),
-                             P(), P(), P()),
+                             P(), P(), P(), P()),
                    out_specs=(spec,) * 6 + (P(),),
                    check_vma=False)
     # depth is passed per call (the engine's z-buffer advances every batch);

@@ -81,7 +81,7 @@ class Engine:
         self.queue: Dict[int, List[np.ndarray]] = defaultdict(list)
         # deferred setDepths adds, folded into the next fused extend
         # dispatch (optimize_and_gate pend_*) instead of their own dispatch
-        self._pend: List[np.ndarray] = []
+        self._pend: List[tuple] = []  # (pids, is_subtract) windows
         self.stats = defaultdict(int)
         self.on_patch_event: Optional[Callable] = None
 
@@ -249,68 +249,79 @@ class Engine:
         return tuple(np.array(x) for x in res)  # writable
 
     def _set_depths(self, pids: np.ndarray, subtract: bool = False):
-        """Scene::setDepths. Adds are DEFERRED: they ride the next fused
-        extend dispatch (optimize_and_gate pend_*), cutting one dispatch per
-        batch; subtracts flush the pending adds first (ordering)."""
+        """Scene::setDepths. BOTH adds and subtracts are DEFERRED: they
+        ride the next fused extend dispatch (optimize_and_gate pend_*) in
+        their original order (phase tags add*/sub*/add*), cutting the
+        standalone flush + subtract dispatches. A second subtract run after
+        an add-after-sub run would need a 4th phase -- flush first (rare)."""
         if len(pids) == 0:
             return
-        if not subtract:
-            self._pend.append(np.asarray(pids))
-            return
-        self._flush_depths()
-        self._set_depths_direct(pids, subtract=True)
+        if subtract and any(e[3] for e in self._pend) \
+                and not self._pend[-1][3]:
+            # pattern would become add,sub,add,sub: flush the window
+            self._flush_depths()
+        # SNAPSHOT the projection inputs now: subtracted patches are freed
+        # (and their store slots reused) before the window flushes
+        self._pend.append((self.patches.center[pids].copy(),
+                           self.patches.scale[pids].copy(),
+                           self.patches.views[pids].copy(), subtract))
+
+    def _pend_arrays(self):
+        """Concatenate the deferred window into (c, s, v, phase)."""
+        c = np.concatenate([e[0] for e in self._pend])
+        s = np.concatenate([e[1] for e in self._pend])
+        v = np.concatenate([e[2] for e in self._pend])
+        seen_sub = False
+        phs = []
+        for e in self._pend:
+            if e[3]:
+                seen_sub = True
+                ph = 1
+            else:
+                ph = 2 if seen_sub else 0
+            phs.append(np.full(len(e[1]), ph, np.int32))
+        return c, s, v, np.concatenate(phs)
 
     def _flush_depths(self):
-        """Apply deferred depth adds with a standalone dispatch (called
-        before subtracts, external pack readers and checkpointing)."""
+        """Apply the deferred depth window with ONE standalone dispatch
+        (external pack readers, checkpointing, overflow)."""
         if not self._pend:
             return
-        pids = (np.concatenate(self._pend) if len(self._pend) > 1
-                else self._pend[0])
+        c, s, v, ph = self._pend_arrays()
         self._pend = []
-        self._set_depths_direct(pids)
-
-    def _take_pending(self):
-        """Pending depth adds as padded (c, s, v) arrays for the fused
-        extend dispatch, or None when nothing is pending."""
-        if not self._pend:
-            return None
-        pids = (np.concatenate(self._pend) if len(self._pend) > 1
-                else self._pend[0])
-        if len(pids) > 2 * self.opt.BATCH:  # bound the fused shape
-            self._flush_depths()
-            return None
-        self._pend = []
-        n = len(pids)
-        # coarse bucket ladder: every distinct (batch, pend) shape combo is
-        # a separate XLA executable (compile + per-process cache load)
-        b = _bucket(n, lo=512)
-        c = np.zeros((b, 3), np.float32)
-        s = np.zeros((b,), np.float32)
-        v = np.full((b, self.opt.MAX_VIEWS), -1, np.int32)
-        c[:n] = self.patches.center[pids]
-        s[:n] = self.patches.scale[pids]
-        v[:n] = self.patches.views[pids]
-        return c, s, v
-
-    def _set_depths_direct(self, pids: np.ndarray, subtract: bool = False):
-        if len(pids) == 0:
-            return
         t0 = time.time()
-        n = len(pids)
-        b = _bucket(n)
-        c = np.zeros((b, 3), np.float32)
-        s = np.zeros((b,), np.float32)
-        v = np.full((b, self.opt.MAX_VIEWS), -1, np.int32)
-        c[:n] = self.patches.center[pids]
-        s[:n] = self.patches.scale[pids]
-        v[:n] = self.patches.views[pids]
-        self.pack = depth_mod.set_depths(
+        b = _bucket(len(s), lo=512)
+        c, s, v, ph = self._pend_pad(c, s, v, ph, b)
+        self.pack = depth_mod.apply_depth_updates(
             self.pack, self.scene.ctx.cams, jnp.asarray(c), jnp.asarray(s),
-            jnp.asarray(v), subtract=subtract,
+            jnp.asarray(v), jnp.asarray(ph),
             subsample=self.opt.DEPTH_SUBSAMPLE)
         self.stats["t_device"] += time.time() - t0
         self.stats["dispatches"] += 1
+
+    def _pend_pad(self, c, s, v, ph, b):
+        n = len(s)
+        cb = np.zeros((b, 3), np.float32)
+        sb = np.zeros((b,), np.float32)
+        vb = np.full((b, self.opt.MAX_VIEWS), -1, np.int32)
+        phb = np.zeros((b,), np.int32)
+        cb[:n], sb[:n], vb[:n], phb[:n] = c, s, v, ph
+        return cb, sb, vb, phb
+
+    def _take_pending(self):
+        """Pending depth updates as padded (c, s, v, phase) arrays for the
+        fused extend dispatch, or None when nothing is pending."""
+        if not self._pend:
+            return None
+        if sum(len(e[1]) for e in self._pend) > 2 * self.opt.BATCH:
+            self._flush_depths()  # bound the fused shape (standalone)
+            return None
+        c, s, v, ph = self._pend_arrays()
+        self._pend = []
+        # coarse bucket ladder: every distinct (batch, pend) shape combo is
+        # a separate XLA executable (compile + per-process cache load)
+        b = _bucket(len(s), lo=512)
+        return self._pend_pad(c, s, v, ph, b)
 
     def _extend_compute(self, centers, normals, scales, views, parent_c,
                         widths):
@@ -402,7 +413,8 @@ class Engine:
         """All-invalid pend_* block (the sharded gate fn has one signature)."""
         b = 128
         return (jnp.zeros((b, 3), jnp.float32), jnp.zeros((b,), jnp.float32),
-                jnp.full((b, self.opt.MAX_VIEWS), -1, jnp.int32))
+                jnp.full((b, self.opt.MAX_VIEWS), -1, jnp.int32),
+                jnp.zeros((b,), jnp.int32))
 
     def _geom_gates(self, centers, normals, scales, views):
         """Batched depthTests / viewBlockTest / pixelFreeTests for extend
