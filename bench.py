@@ -107,6 +107,9 @@ def main():
             "pipeline_alive": int(eng.n_alive()),
             "dispatches": disp,
             "dispatches_per_wavefront": round(disp / max(waves, 1), 2),
+            "disp_extend": int(eng.stats["disp_extend"]),
+            "disp_optimize": int(eng.stats["disp_optimize"]),
+            "disp_flush": int(eng.stats["disp_flush"]),
             "host_fraction": round(
                 max(e2e_dt - float(eng.stats["t_device"]), 0.0)
                 / max(e2e_dt, 1e-9), 4),

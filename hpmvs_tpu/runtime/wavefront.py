@@ -236,6 +236,7 @@ class Engine:
         else:
             res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
         self.stats["dispatches"] += 1
+        self.stats["disp_optimize"] += 1
         return res
 
     def _call_optimize(self, centers, normals, scales, views):
@@ -298,6 +299,7 @@ class Engine:
             subsample=self.opt.DEPTH_SUBSAMPLE)
         self.stats["t_device"] += time.time() - t0
         self.stats["dispatches"] += 1
+        self.stats["disp_flush"] += 1
 
     def _pend_pad(self, c, s, v, ph, b):
         n = len(s)
@@ -313,7 +315,7 @@ class Engine:
         fused extend dispatch, or None when nothing is pending."""
         if not self._pend:
             return None
-        if sum(len(e[1]) for e in self._pend) > 2 * self.opt.BATCH:
+        if sum(len(e[1]) for e in self._pend) > 4 * self.opt.BATCH:
             self._flush_depths()  # bound the fused shape (standalone)
             return None
         c, s, v, ph = self._pend_arrays()
@@ -396,6 +398,7 @@ class Engine:
                     self.scene.ctx, self.pack, self.opt,
                     self.scene.n_cameras, *args)
         self.stats["dispatches"] += 1
+        self.stats["disp_extend"] += 1
         return res
 
     def _call_extend(self, centers, normals, scales, views, parent_c,

@@ -127,3 +127,60 @@ def test_get_full_depth_pyramid_min(built):
                                         jnp.array([iy]), opt.n_levels)[0])
     assert fd < depth_mod.MAX_DEPTH
     np.testing.assert_allclose(fd, imgC[2], rtol=1e-3)
+
+
+def test_phased_updates_match_sequential(built):
+    """apply_phased_updates(add*, sub*, add*) == the same sequence of
+    individual set_depths dispatches (the engine's deferred-window
+    semantics, runtime/wavefront._set_depths)."""
+    scene, opt, pack, (c, n, s, v) = built
+    cams = scene.ctx.cams
+    a0 = (jnp.asarray(c[:8]), jnp.asarray(s[:8]), jnp.asarray(v[:8]))
+    sub = (jnp.asarray(c[4:12]), jnp.asarray(s[4:12]), jnp.asarray(v[4:12]))
+    c2 = c[8:16].copy()
+    c2[:, 2] -= 0.1
+    a2 = (jnp.asarray(c2), jnp.asarray(s[8:16]), jnp.asarray(v[8:16]))
+
+    # sequential reference: add a0, subtract sub, add a2
+    p_seq = depth_mod.set_depths(pack, cams, *a0)
+    p_seq = depth_mod.set_depths(p_seq, cams, *sub, subtract=True)
+    p_seq = depth_mod.set_depths(p_seq, cams, *a2)
+
+    # one phased batch
+    cc = jnp.concatenate([a0[0], sub[0], a2[0]])
+    ss = jnp.concatenate([a0[1], sub[1], a2[1]])
+    vv = jnp.concatenate([a0[2], sub[2], a2[2]])
+    ph = jnp.asarray(np.repeat([0, 1, 2], 8).astype(np.int32))
+    p_bat = depth_mod.apply_depth_updates(pack, cams, cc, ss, vv, ph)
+
+    np.testing.assert_array_equal(np.asarray(p_bat.depth),
+                                  np.asarray(p_seq.depth))
+
+
+def test_engine_defers_subtract_snapshot():
+    """The deferred window must snapshot patch projections at deferral
+    time: a freed + reallocated store slot must not corrupt a pending
+    subtract (runtime/wavefront._set_depths)."""
+    import dataclasses as dc
+
+    from hpmvs_tpu.runtime.wavefront import Engine
+    from hpmvs_tpu.testing import make_plane_scene
+
+    ps = make_plane_scene(n_cams=4, imgsize=96, n_points=24, seed=3)
+    opt = dc.replace(Options(), START_LEVEL=1, MAXLEVEL=3, MAX_VIEWS=6,
+                     COVIS_MIN_POINTS=10, LM_ITERS=4)
+    eng = Engine(ps.model, opt, images=ps.images)
+    eng.seed()
+    pids = np.nonzero(eng.patches.alive)[0][:4]
+    eng._flush_depths()
+    before = np.asarray(eng.pack.depth).copy()
+
+    # defer a subtract, then clobber + free the slots (as filter/branch do)
+    eng._set_depths(pids, subtract=True)
+    eng.patches.center[pids] += 100.0  # slot reused by an unrelated patch
+    eng._flush_depths()
+    after = np.asarray(eng.pack.depth)
+    # the subtract used the snapshotted projection: those cells cleared
+    assert (before < depth_mod.MAX_DEPTH).sum() > 0
+    cleared = (before < depth_mod.MAX_DEPTH) & (after == depth_mod.MAX_DEPTH)
+    assert cleared.sum() > 0
