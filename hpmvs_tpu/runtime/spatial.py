@@ -177,6 +177,14 @@ class SpatialEngine(Engine):
         self.stats["patches_optimized"] += centers.shape[0]
         return res
 
+    def _extend_stream(self, centers, normals, scales, views, parent_c,
+                       widths):
+        """Block-major layout needs all rounds gathered before the original
+        order is restored, so the spatial engine routes whole-batch (the
+        rounds themselves still pipeline inside _blockwise)."""
+        yield 0, centers.shape[0], self._extend_compute(
+            centers, normals, scales, views, parent_c, widths)
+
     # ------------------------------------------------------------------
     # border migration (insertBorderCell / distributeBorderCell analog)
     # ------------------------------------------------------------------

@@ -680,16 +680,48 @@ class Engine:
         v_in = views[src[sel]]
 
         w_src = widths[src[sel]].astype(np.float32)
-        oc, on, os_, ov, ok, col = self._extend_compute(
-            c_in, n_in, s_in, v_in, centers[src[sel]].astype(np.float32),
-            w_src)
-
-        n_ins = self._route_extend(oc, on, os_, ov, ok, col,
-                                   levels[src[sel]], prio_red[src[sel]],
-                                   cids[src[sel]])
+        n_ins = 0
+        for a, b, (oc, on, os_, ov, okk, col) in self._extend_stream(
+                c_in, n_in, s_in, v_in,
+                centers[src[sel]].astype(np.float32), w_src):
+            seg = src[sel[a:b]]
+            # routing chunk i overlaps chunks i+1..'s device compute; the
+            # insert-time occupancy re-check keeps first-wins order
+            # identical to whole-batch routing
+            n_ins += self._route_extend(oc, on, os_, ov, okk, col,
+                                        levels[seg], prio_red[seg],
+                                        cids[seg])
         self.stats["extended"] += n_ins
 
         self._finish_extend(cids, pids, levels, prio_red)
+
+    def _extend_stream(self, centers, normals, scales, views, parent_c,
+                       widths):
+        """Yield (start, stop, results) per chunk: every chunk's dispatch is
+        enqueued before the first blocking fetch, so chunk i's host routing
+        overlaps chunk i+1..'s device compute AND the per-dispatch RPC
+        latency. The spatial engine overrides this with its block-major
+        single batch."""
+        import jax
+        n = centers.shape[0]
+        cap = max(self.opt.BATCH, 16)
+        fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
+        t0 = time.time()
+        devs, spans = [], []
+        for i in range(0, n, cap):
+            m = min(cap, n - i)
+            devs.append(self._dispatch_extend(*self._pad_chunk(
+                (centers[i:i + cap], normals[i:i + cap],
+                 scales[i:i + cap], views[i:i + cap],
+                 parent_c[i:i + cap], widths[i:i + cap]), fills, m)))
+            spans.append((i, i + m))
+        self.stats["patches_optimized"] += n
+        self.stats["t_device"] += time.time() - t0
+        for dev, (a, b) in zip(devs, spans):
+            t1 = time.time()
+            got = jax.device_get(dev)
+            self.stats["t_device"] += time.time() - t1
+            yield a, b, tuple(np.array(x)[:b - a] for x in got)
 
     def _route_extend(self, oc, on, os_, ov, ok, col, lv_t, prio_red,
                       src_cids) -> int:
