@@ -1076,7 +1076,8 @@ def _optimize_all(ctx, opt: Options, center, normal, scale, views):
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))
 def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
                       center, normal, scale, views, parent_c, widths,
-                      pend_c=None, pend_s=None, pend_v=None, pend_ph=None):
+                      pend_c=None, pend_s=None, pend_v=None, pend_ph=None,
+                      gate_imgs=None):
     """Fused extend-candidate compute: optimize + every acceptance gate of
     CellProcessor::extend (:130-142) -- scale window, drift, depthTests,
     viewBlockTest, pixelFreeTests -- in ONE device dispatch.
@@ -1088,10 +1089,17 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     set_depths dispatches into this one (same freshness: the reference
     interleaves setDepths between cells, we between batches).
 
+    gate_imgs: image-dim tables for the geometric gates; defaults to
+    ctx.imgs. Per-block image subsets pass block-LOCAL textures in ctx.imgs
+    but the GLOBAL dims here, because visibility tests span all images
+    (Scene.cpp:610-644) while textures only need the block's cameras.
+
     Returns (center', normal', scale', views', ok, color[, new_depth when
     pending was passed])."""
     from hpmvs_tpu.core import depth as depth_mod
 
+    if gate_imgs is None:
+        gate_imgs = ctx.imgs
     has_pend = pend_c is not None
     if has_pend:
         if pend_ph is None:
@@ -1107,11 +1115,11 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     ok &= jnp.linalg.norm(oc - parent_c, axis=1) < widths * opt.EXTEND_DRIFT
 
     m = opt.DEPTH_TEST_FACTOR
-    dt = depth_mod.depth_tests.__wrapped__(pack, ctx.cams, ctx.imgs, opt,
+    dt = depth_mod.depth_tests.__wrapped__(pack, ctx.cams, gate_imgs, opt,
                                            oc, on, os_, ov, m)
-    vb = depth_mod.view_block_test.__wrapped__(pack, ctx.cams, ctx.imgs, opt,
-                                               oc, on, os_, m, n_images)
-    pf = depth_mod.pixel_free_tests.__wrapped__(pack, ctx.cams, ctx.imgs,
+    vb = depth_mod.view_block_test.__wrapped__(pack, ctx.cams, gate_imgs,
+                                               opt, oc, on, os_, m, n_images)
+    pf = depth_mod.pixel_free_tests.__wrapped__(pack, ctx.cams, gate_imgs,
                                                 opt, oc, os_, ov)
     nv = jnp.sum(ov >= 0, axis=1)
     ok &= dt >= opt.MIN_IMAGES_PER_PATCH

@@ -45,7 +45,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from hpmvs_tpu.core.octree import morton_ancestor
-from hpmvs_tpu.runtime.wavefront import Engine, _bucket
+from hpmvs_tpu.runtime.wavefront import Engine, _bucket, log
 
 
 class SpatialEngine(Engine):
@@ -58,7 +58,7 @@ class SpatialEngine(Engine):
     _HDR = 12
 
     def __init__(self, model, opt, images=None, visdata_path=None,
-                 mesh=None):
+                 mesh=None, image_subsets: bool = False):
         if mesh is None:
             raise ValueError("SpatialEngine requires a jax.sharding.Mesh")
         super().__init__(model, opt, images=images,
@@ -69,6 +69,74 @@ class SpatialEngine(Engine):
             L += 1
         self.block_level = max(L, 1)
         self._halo_fns: Dict[Tuple[int, int], object] = {}
+        # per-block image subsets (parallel/subsets.py): shard the packed
+        # pyramid buffer so device b holds only block b's cameras
+        self.image_subsets = image_subsets
+        self._bpack_dev = None
+        self._bpack_key = None
+        self._subset_fn = None
+        self._subset_gate_fn = None
+
+    # ------------------------------------------------------------------
+    # per-block image subsets
+    # ------------------------------------------------------------------
+    def _ensure_subsets(self):
+        """Build (or rebuild after a re-root) the per-block image slabs and
+        commit them to the mesh, sharded on the block dim."""
+        key = (tuple(self.tree.center), self.tree.width)
+        if self._bpack_dev is not None and self._bpack_key == key:
+            return
+        from hpmvs_tpu.parallel import subsets
+        imgs = self.scene.ctx.imgs
+        w0 = np.asarray(imgs.width)[:, 0]
+        h0 = np.asarray(imgs.height)[:, 0]
+        mask = subsets.assign_images_to_blocks(
+            self.scene.ctx.cams, w0, h0, np.asarray(self.tree.center),
+            self.tree.width, self.n_blocks, self.block_level)
+        host = subsets.build_block_packs(
+            subsets.ImagePack(*(np.asarray(a) for a in imgs)), mask)
+        self._bpack_dev = subsets.device_put_block_pack(self.mesh, host)
+        self._bpack_key = key
+        self._subset_fn = None
+        self._subset_gate_fn = None
+        total_rows = int(np.asarray(imgs.tex).shape[0])
+        self.stats["subset_cams_max"] = int(mask.sum(1).max())
+        self.stats["subset_cams_mean"] = float(mask.sum(1).mean())
+        self.stats["subset_rows_per_block"] = int(host.tex.shape[1])
+        self.stats["subset_rows_replicated"] = total_rows
+        log.info(
+            "image subsets: %d cams -> %.1f mean / %d max per block; "
+            "%d rows/block vs %d replicated (%.0f%% HBM)",
+            mask.shape[1], float(mask.sum(1).mean()), int(mask.sum(1).max()),
+            host.tex.shape[1], total_rows,
+            100.0 * host.tex.shape[1] / max(total_rows, 1))
+
+    def _sharded_opt_call(self, args):
+        if not self.image_subsets or self.tree is None:
+            return super()._sharded_opt_call(args)
+        self._ensure_subsets()
+        if self._subset_fn is None:
+            from hpmvs_tpu.parallel import subsets
+            self._subset_fn, _ = subsets.sharded_optimize_subset(
+                self.mesh, self.scene.ctx, self.opt)
+        bp = self._bpack_dev
+        return self._subset_fn(*args, bp.tex, bp.texb, bp.row0, bp.width,
+                               bp.height)
+
+    def _sharded_gate_call(self, args, pargs):
+        if not self.image_subsets or self.tree is None:
+            return super()._sharded_gate_call(args, pargs)
+        self._ensure_subsets()
+        if self._subset_gate_fn is None:
+            from hpmvs_tpu.parallel import subsets
+            self._subset_gate_fn, _ = \
+                subsets.sharded_optimize_and_gate_subset(
+                    self.mesh, self.scene.ctx, self.opt, self.pack,
+                    self.scene.n_cameras)
+        bp = self._bpack_dev
+        return self._subset_gate_fn(*args, self.pack.depth, *pargs,
+                                    bp.tex, bp.texb, bp.row0, bp.width,
+                                    bp.height)
 
     # ------------------------------------------------------------------
     # block assignment: equal contiguous Morton-key ranges.

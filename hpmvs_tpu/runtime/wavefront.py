@@ -228,16 +228,21 @@ class Engine:
         args = (jnp.asarray(centers), jnp.asarray(normals),
                 jnp.asarray(scales), jnp.asarray(views))
         if self.mesh is not None:
-            if self._sharded_fn is None:
-                from hpmvs_tpu.parallel import mesh as pmesh
-                self._sharded_fn, _ = pmesh.sharded_optimize(
-                    self.mesh, self.scene.ctx, self.opt)
-            res = self._sharded_fn(*args)
+            res = self._sharded_opt_call(args)
         else:
             res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
         self.stats["dispatches"] += 1
         self.stats["disp_optimize"] += 1
         return res
+
+    def _sharded_opt_call(self, args):
+        """Mesh-path optimize dispatch (SpatialEngine overrides to use the
+        per-block image-subset variant)."""
+        if self._sharded_fn is None:
+            from hpmvs_tpu.parallel import mesh as pmesh
+            self._sharded_fn, _ = pmesh.sharded_optimize(
+                self.mesh, self.scene.ctx, self.opt)
+        return self._sharded_fn(*args)
 
     def _call_optimize(self, centers, normals, scales, views):
         """Raw device dispatch of the batched optimizer on an already
@@ -369,13 +374,7 @@ class Engine:
         if pend is not None:
             pargs = tuple(jnp.asarray(p) for p in pend)
             if self.mesh is not None:
-                if self._sharded_gate_fn is None:
-                    from hpmvs_tpu.parallel import mesh as pmesh
-                    self._sharded_gate_fn, _ = \
-                        pmesh.sharded_optimize_and_gate(
-                            self.mesh, self.scene.ctx, self.opt, self.pack,
-                            self.scene.n_cameras)
-                res = self._sharded_gate_fn(*args, self.pack.depth, *pargs)
+                res = self._sharded_gate_call(args, pargs)
             else:
                 res = popt.optimize_and_gate(
                     self.scene.ctx, self.pack, self.opt,
@@ -384,15 +383,7 @@ class Engine:
             res = res[:6]
         else:
             if self.mesh is not None:
-                if self._sharded_gate_fn is None:
-                    from hpmvs_tpu.parallel import mesh as pmesh
-                    self._sharded_gate_fn, _ = \
-                        pmesh.sharded_optimize_and_gate(
-                            self.mesh, self.scene.ctx, self.opt, self.pack,
-                            self.scene.n_cameras)
-                res = self._sharded_gate_fn(
-                    *args, self.pack.depth,
-                    *self._empty_pending())[:6]
+                res = self._sharded_gate_call(args, self._empty_pending())[:6]
             else:
                 res = popt.optimize_and_gate(
                     self.scene.ctx, self.pack, self.opt,
@@ -400,6 +391,17 @@ class Engine:
         self.stats["dispatches"] += 1
         self.stats["disp_extend"] += 1
         return res
+
+    def _sharded_gate_call(self, args, pargs):
+        """Mesh-path fused extend dispatch (SpatialEngine overrides to use
+        the per-block image-subset variant). Returns 7 outputs, depth
+        last."""
+        if self._sharded_gate_fn is None:
+            from hpmvs_tpu.parallel import mesh as pmesh
+            self._sharded_gate_fn, _ = pmesh.sharded_optimize_and_gate(
+                self.mesh, self.scene.ctx, self.opt, self.pack,
+                self.scene.n_cameras)
+        return self._sharded_gate_fn(*args, self.pack.depth, *pargs)
 
     def _call_extend(self, centers, normals, scales, views, parent_c,
                      widths):
