@@ -68,6 +68,12 @@ def main(argv=None) -> int:
                          "device mesh with halo border migration (the "
                          "getSubTrees + border-queue analog); requires >1 "
                          "device")
+    ap.add_argument("--image_subsets", action="store_true",
+                    help="with --spatial: shard the packed image pyramids "
+                         "by block so each device holds only the cameras "
+                         "whose frusta see its blocks (the per-subtree "
+                         "working set; cuts per-device HBM on scenes "
+                         "larger than one chip's memory)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -110,7 +116,8 @@ def main(argv=None) -> int:
                                        bundle_adjust=args.ba,
                                        snapshot_hook=snapshot_hook,
                                        resume=args.resume,
-                                       spatial=args.spatial)
+                                       spatial=args.spatial,
+                                       image_subsets=args.image_subsets)
     finally:
         if args.profile:
             import jax

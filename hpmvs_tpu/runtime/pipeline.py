@@ -44,7 +44,8 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
         more_output: bool = False, light_output: int = 0,
         snapshot_hook=None, max_prio: Optional[int] = None,
         bundle_adjust: bool = False, resume: Optional[str] = None,
-        mesh="auto", spatial: bool = False) -> Engine:
+        mesh="auto", spatial: bool = False,
+        image_subsets: bool = False) -> Engine:
     """Progressive densification main loop (main.cpp:145-202).
 
     bundle_adjust: refine cameras + sparse points by Schur-complement BA
@@ -56,6 +57,10 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     spatial: partition the octree into Morton blocks on the mesh with halo
     border migration (the getSubTrees + border-queue analog, main.cpp:50-96,
     CellProcessor.cpp:487-540) instead of flat batch sharding.
+    image_subsets: with spatial, shard the packed image pyramids by block
+    so each device only holds the cameras whose frusta see its blocks
+    (parallel/subsets.py) -- the per-subtree working set, for scenes whose
+    pyramids exceed one chip's HBM.
 
     Multi-host entry: on a pod slice / multi-process launch, mesh="auto"
     first calls parallel.mesh.init_distributed() (jax.distributed bring-up,
@@ -86,15 +91,17 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
         model = ba.apply_to_model(model, np.asarray(cam), np.asarray(pts))
     # PMVS-style VISDATA debug dump, like the reference's always-written
     # /tmp/testvis.dat (Scene.cpp:243,279) but into the output folder
+    kw = {}
     cls = Engine
     if spatial:
         if mesh is None:
             raise ValueError("spatial=True requires a device mesh")
         from hpmvs_tpu.runtime.spatial import SpatialEngine
         cls = SpatialEngine
+        kw["image_subsets"] = image_subsets
     engine = cls(model, opt, images=images,
                  visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"),
-                 mesh=mesh)
+                 mesh=mesh, **kw)
     if resume:
         from hpmvs_tpu.runtime import checkpoint as ckpt
         ckpt.load_checkpoint(engine, resume)
