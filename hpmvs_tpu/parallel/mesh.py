@@ -183,6 +183,22 @@ def sharded_optimize_and_gate(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
     return jax.jit(fn), mesh.devices.size
 
 
+def sharded_apply_depth_updates(mesh: Mesh, cams, pack: depth_mod.DepthPack,
+                                subsample: int):
+    """Standalone deferred-depth flush over the mesh (replicated in/out):
+    the multi-device twin of depth.apply_depth_updates, needed so the
+    flush composes with a globally-sharded z-buffer under multi-controller
+    SPMD (every device applies the same cheap update)."""
+    def body(depth, c, s, v, ph):
+        local = pack._replace(depth=depth)
+        return depth_mod.apply_phased_updates(local, cams, c, s, v, ph,
+                                              subsample).depth
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(),) * 5, out_specs=P(),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 def make_halo_exchange(mesh: Mesh, n_blocks: int, slots: int):
     """Build the jitted border-patch migration collective (replaces
     distributeBorderCell, CellProcessor.cpp:533-540).

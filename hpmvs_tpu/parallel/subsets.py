@@ -140,8 +140,15 @@ def device_put_block_pack(mesh: Mesh, bpack: BlockImagePack):
     dim -- done once; subsequent dispatches pass the committed arrays with
     a matching sharding, so nothing re-transfers."""
     sh = NamedSharding(mesh, P(("dp", "sp")))
-    return BlockImagePack(*(jax.device_put(np.asarray(a), sh)
-                            for a in bpack))
+
+    def put(a):
+        a = np.asarray(a)
+        # make_array_from_callback works in multi-controller too (each
+        # process supplies its addressable block shards from the replicated
+        # host copy); device_put with a cross-process sharding does not
+        return jax.make_array_from_callback(a.shape, sh, lambda i: a[i])
+
+    return BlockImagePack(*(put(a) for a in bpack))
 
 
 def _local_imgs(tex, texb, row0, w, h):

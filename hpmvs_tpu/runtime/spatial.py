@@ -212,7 +212,7 @@ class SpatialEngine(Engine):
                 padded.append(buf)
             devs.append(dispatch(*padded))
             metas.append((idx, pos[m]))
-        got = jax.device_get(devs)
+        got = self._fetch(devs)
         self.stats["t_device"] += time.time() - t0
         for res, (idx, pm) in zip(got, metas):
             for j in range(n_out):
@@ -313,8 +313,8 @@ class SpatialEngine(Engine):
 
         import jax
         import jax.numpy as jnp
-        recv, valid, dropped = jax.device_get(self._halo_fn(lanes, D)(
-            jnp.asarray(block_of), jnp.asarray(payload)))
+        recv, valid, dropped = self._fetch(self._halo_fn(lanes, D)(
+            self._dev_batch(block_of), self._dev_batch(payload)))
         recv = np.asarray(recv)
         valid = np.asarray(valid)
         self.stats["migrated"] += len(idx)

@@ -67,6 +67,7 @@ class Engine:
         self.mesh = mesh          # jax.sharding.Mesh -> sharded optimize
         self._sharded_fn = None
         self._sharded_gate_fn = None
+        self._flush_fn = None
         self.scene = scene_mod.build_scene(model, opt, images=images,
                                            visdata_path=visdata_path)
         self.pack = depth_mod.build_depth_pack(
@@ -84,6 +85,54 @@ class Engine:
         self._pend: List[tuple] = []  # (pids, is_subtract) windows
         self.stats = defaultdict(int)
         self.on_patch_event: Optional[Callable] = None
+        import jax
+        # multi-controller SPMD: host scheduler state is replicated per
+        # process; result fetches must allgather non-addressable shards
+        self._mp = jax.process_count() > 1
+
+    def _fetch(self, res):
+        """Blocking fetch of dispatch results as host numpy. Single process:
+        one device_get. Multi-controller (jax.distributed, mesh spanning
+        processes): reshard the outputs to replicated first -- a cross-host
+        allgather of the batch -- so every process reads the full results
+        and applies identical scheduler bookkeeping (replicated host state,
+        the multi-host ownership convention of pipeline.run)."""
+        import jax
+        if self._mp and self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as PS
+            repl = NamedSharding(self.mesh, PS())
+            res = jax.jit(lambda t: t, out_shardings=repl)(res)
+        return jax.device_get(res)
+
+    def _dev_batch(self, a):
+        """Host batch array -> device arg. Multi-controller: build the
+        global (dp,sp)-sharded jax.Array from the (identical) host copy."""
+        if not (self._mp and self.mesh is not None):
+            return jnp.asarray(a)
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+        arr = np.asarray(a)
+        sh = NamedSharding(self.mesh, PS(("dp", "sp")))
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    def _dev_repl(self, a):
+        """Host array -> replicated device arg (global in multi-controller).
+        Arrays already sharded on this mesh pass through untouched."""
+        if not (self._mp and self.mesh is not None):
+            return jnp.asarray(a)
+        import jax
+        if isinstance(a, jax.Array) and not isinstance(a, jax.core.Tracer) \
+                and getattr(a.sharding, "mesh", None) is not None:
+            return a
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+        arr = np.asarray(a)
+        sh = NamedSharding(self.mesh, PS())
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
 
     def refresh_host_caches(self):
         """Host copies of the camera SoA (avoid device transfers in the
@@ -94,6 +143,7 @@ class Engine:
         # sharded closures capture scene/pack tables: rebuild after growth
         self._sharded_fn = None
         self._sharded_gate_fn = None
+        self._flush_fn = None
 
     # ------------------------------------------------------------------
     # plumbing: cell membership as head/next chains, batched queue pushes
@@ -198,7 +248,7 @@ class Engine:
                                       scales[i:i + cap], views[i:i + cap]),
                                      (0.0, 0.0, 0.0, -1), m)))
                 lens.append(m)
-            got = jax.device_get(devs)  # one transfer for all chunks
+            got = self._fetch(devs)  # one transfer for all chunks
             self.stats["t_device"] += time.time() - t0
             self.stats["patches_optimized"] += n
             return tuple(np.concatenate([np.array(g[j])[:m]
@@ -225,8 +275,8 @@ class Engine:
     def _dispatch_optimize(self, centers, normals, scales, views):
         """Enqueue the batched-optimizer dispatch on an already padded batch;
         returns DEVICE arrays without blocking (async JAX dispatch)."""
-        args = (jnp.asarray(centers), jnp.asarray(normals),
-                jnp.asarray(scales), jnp.asarray(views))
+        args = (self._dev_batch(centers), self._dev_batch(normals),
+                self._dev_batch(scales), self._dev_batch(views))
         if self.mesh is not None:
             res = self._sharded_opt_call(args)
         else:
@@ -249,7 +299,7 @@ class Engine:
         padded/shaped batch. Returns 7 writable np arrays of full length."""
         import jax
         t0 = time.time()
-        res = jax.device_get(self._dispatch_optimize(
+        res = self._fetch(self._dispatch_optimize(
             centers, normals, scales, views))
         self.stats["t_device"] += time.time() - t0
         return tuple(np.array(x) for x in res)  # writable
@@ -298,10 +348,23 @@ class Engine:
         t0 = time.time()
         b = _bucket(len(s), lo=512)
         c, s, v, ph = self._pend_pad(c, s, v, ph, b)
-        self.pack = depth_mod.apply_depth_updates(
-            self.pack, self.scene.ctx.cams, jnp.asarray(c), jnp.asarray(s),
-            jnp.asarray(v), jnp.asarray(ph),
-            subsample=self.opt.DEPTH_SUBSAMPLE)
+        if self.mesh is not None:
+            # mesh twin: composes with the globally-sharded z-buffer under
+            # multi-controller SPMD (parallel/mesh.py)
+            if self._flush_fn is None:
+                from hpmvs_tpu.parallel import mesh as pmesh
+                self._flush_fn = pmesh.sharded_apply_depth_updates(
+                    self.mesh, self.scene.ctx.cams, self.pack,
+                    self.opt.DEPTH_SUBSAMPLE)
+            new_depth = self._flush_fn(
+                self._dev_repl(self.pack.depth), self._dev_repl(c),
+                self._dev_repl(s), self._dev_repl(v), self._dev_repl(ph))
+            self.pack = self.pack._replace(depth=new_depth)
+        else:
+            self.pack = depth_mod.apply_depth_updates(
+                self.pack, self.scene.ctx.cams, jnp.asarray(c),
+                jnp.asarray(s), jnp.asarray(v), jnp.asarray(ph),
+                subsample=self.opt.DEPTH_SUBSAMPLE)
         self.stats["t_device"] += time.time() - t0
         self.stats["dispatches"] += 1
         self.stats["disp_flush"] += 1
@@ -350,7 +413,7 @@ class Engine:
                      scales[i:i + cap], views[i:i + cap],
                      parent_c[i:i + cap], widths[i:i + cap]), fills, m)))
                 lens.append(m)
-            got = jax.device_get(devs)
+            got = self._fetch(devs)
             self.stats["t_device"] += time.time() - t0
             self.stats["patches_optimized"] += n
             return tuple(np.concatenate([np.array(g[j])[:m]
@@ -368,11 +431,11 @@ class Engine:
         ride along (pend_*) and the updated z-buffer stays on-device --
         ONE dispatch for optimize + gates + setDepths."""
         pend = self._take_pending()
-        args = (jnp.asarray(centers), jnp.asarray(normals),
-                jnp.asarray(scales), jnp.asarray(views),
-                jnp.asarray(parent_c), jnp.asarray(widths))
+        args = (self._dev_batch(centers), self._dev_batch(normals),
+                self._dev_batch(scales), self._dev_batch(views),
+                self._dev_batch(parent_c), self._dev_batch(widths))
         if pend is not None:
-            pargs = tuple(jnp.asarray(p) for p in pend)
+            pargs = tuple(self._dev_repl(p) for p in pend)
             if self.mesh is not None:
                 res = self._sharded_gate_call(args, pargs)
             else:
@@ -401,7 +464,8 @@ class Engine:
             self._sharded_gate_fn, _ = pmesh.sharded_optimize_and_gate(
                 self.mesh, self.scene.ctx, self.opt, self.pack,
                 self.scene.n_cameras)
-        return self._sharded_gate_fn(*args, self.pack.depth, *pargs)
+        return self._sharded_gate_fn(*args, self._dev_repl(self.pack.depth),
+                                     *(self._dev_repl(p) for p in pargs))
 
     def _call_extend(self, centers, normals, scales, views, parent_c,
                      widths):
@@ -409,7 +473,7 @@ class Engine:
         already padded/shaped batch. Returns 6 writable np arrays."""
         import jax
         t0 = time.time()
-        res = jax.device_get(self._dispatch_extend(
+        res = self._fetch(self._dispatch_extend(
             centers, normals, scales, views, parent_c, widths))
         self.stats["t_device"] += time.time() - t0
         return tuple(np.array(x) for x in res)
@@ -721,7 +785,7 @@ class Engine:
         self.stats["t_device"] += time.time() - t0
         for dev, (a, b) in zip(devs, spans):
             t1 = time.time()
-            got = jax.device_get(dev)
+            got = self._fetch(dev)
             self.stats["t_device"] += time.time() - t1
             yield a, b, tuple(np.array(x)[:b - a] for x in got)
 

@@ -113,8 +113,34 @@ def main():
     total = pmesh.have_work_psum(mesh, g(counts))
     assert total == 36, total
 
+    # 4) FULL spatially-sharded engine across both processes: every process
+    # runs the identical replicated host scheduler; device batches are
+    # global (dp,sp)-sharded arrays; results allgather back (Engine._fetch).
+    # The expected patch count comes from the launcher's single-process
+    # 8-virtual-device run of the SAME mesh shape -- the multi-controller
+    # run must reproduce it exactly.
+    expected_alive = int(sys.argv[3]) if len(sys.argv) > 3 else -1
+    from hpmvs_tpu.runtime.spatial import SpatialEngine
+    pm = pmesh.Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "sp"))
+    eng = SpatialEngine(ps.model, opt, images=ps.images, mesh=pm)
+    eng.seed()
+    start = min(eng.queue) if eng.queue else 0
+    for prio in range(start, start + 25):
+        eng.process_priority_step(prio)
+        if not eng.have_work():
+            break
+    n_alive = eng.n_alive()
+    from jax.experimental import multihost_utils
+    counts = multihost_utils.process_allgather(
+        np.asarray([n_alive], np.int64))
+    assert (np.asarray(counts) == n_alive).all(), \
+        f"process patch counts diverge: {np.asarray(counts)}"
+    if expected_alive >= 0:
+        assert n_alive == expected_alive, (n_alive, expected_alive)
+
     print(f"MULTIHOST_OK pid={PID} accepted={int(ok.sum())} "
-          f"depth_cells={int((depth < depth_mod.MAX_DEPTH).sum())}")
+          f"depth_cells={int((depth < depth_mod.MAX_DEPTH).sum())} "
+          f"engine_alive={n_alive} migrated={eng.stats['migrated']}")
 
 
 if __name__ == "__main__":

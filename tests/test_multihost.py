@@ -24,7 +24,34 @@ def _free_port() -> int:
     return port
 
 
+def _expected_alive() -> int:
+    """Single-process reference: the SAME SpatialEngine configuration on
+    this process's 8 virtual devices; the 2-process run must match it."""
+    import dataclasses
+
+    import numpy as np
+
+    from hpmvs_tpu.config import Options
+    from hpmvs_tpu.parallel import mesh as pmesh
+    from hpmvs_tpu.runtime.spatial import SpatialEngine
+    from hpmvs_tpu.testing import make_plane_scene
+
+    opt = dataclasses.replace(Options(), START_LEVEL=1, MAXLEVEL=3,
+                              MAX_VIEWS=6, COVIS_MIN_POINTS=10, LM_ITERS=4)
+    ps = make_plane_scene(n_cams=4, imgsize=96, n_points=24, seed=0)
+    eng = SpatialEngine(ps.model, opt, images=ps.images,
+                        mesh=pmesh.make_mesh(8, shape=(4, 2)))
+    eng.seed()
+    start = min(eng.queue) if eng.queue else 0
+    for prio in range(start, start + 25):
+        eng.process_priority_step(prio)
+        if not eng.have_work():
+            break
+    return int(eng.n_alive())
+
+
 def test_two_process_distributed_step():
+    expected = _expected_alive()
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
@@ -35,7 +62,7 @@ def test_two_process_distributed_step():
         os.path.abspath(__file__)))
 
     procs = [subprocess.Popen([sys.executable, "-u", worker, str(pid),
-                               str(port)],
+                               str(port), str(expected)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, env=env, text=True)
              for pid in range(2)]
