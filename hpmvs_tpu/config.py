@@ -117,6 +117,17 @@ class Options:
                                # setDepths interleaving (SURVEY.md section 7
                                # 'depth-buffer freshness'); 1 = one batch
     DTYPE: str = "float32"
+    BLOCK_OVERSUB: int = 8     # spatial mode: Morton blocks per device; the
+                               # active blocks are greedily bin-packed onto
+                               # shards every dispatch round -- the analog
+                               # of the reference's ~100 subtrees dynamically
+                               # scheduled over ~8 threads (main.cpp:50-96
+                               # --subtrees=100 + schedule(dynamic) :150)
+    REBALANCE_BELOW: float = 0.75  # with image subsets, keep the current
+                               # block->shard assignment (whose slabs are
+                               # committed to HBM) while its balance stays
+                               # above this; only rebalance + rebuild slabs
+                               # below it (hysteresis against thrash)
 
     @property
     def n_levels(self) -> int:

@@ -48,7 +48,19 @@ class ImagePack(NamedTuple):
 
 
 def load_image(path: str) -> np.ndarray:
-    """Decode an image file to (H, W, 3) uint8."""
+    """Decode an image file to (H, W, 3) uint8.
+
+    PIL formats (JPEG/PNG/...) plus the benchmark raw format 'HPI1'
+    (bench/export_scene.py: magic + int32 w,h + uint8 RGB), which both the
+    CPU full-loop baseline and this pipeline read so e2e comparisons see
+    bit-identical pixels."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+        if magic == b"HPI1":
+            import struct
+            w, h = struct.unpack("<ii", fh.read(8))
+            buf = np.frombuffer(fh.read(w * h * 3), np.uint8)
+            return buf.reshape(h, w, 3).copy()
     from PIL import Image as PILImage
     img = PILImage.open(path)
     if img.mode != "RGB":

@@ -1111,8 +1111,14 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     oc, on, os_, ov, ok, col, _ = _optimize_all(ctx, opt, center, normal,
                                                 scale, views)
 
-    ok &= (os_ * 2.0 < widths) & (os_ * 2.0 > widths / 2.0)
-    ok &= jnp.linalg.norm(oc - parent_c, axis=1) < widths * opt.EXTEND_DRIFT
+    # per-lane gating: widths < 0 marks lanes that want the bare optimize
+    # (seed / branch candidates -- the reference runs the SAME optimizer for
+    # every phase, PatchOptimizer.cpp:78, and only extend applies these
+    # acceptance gates, CellProcessor.cpp:130-142). One executable serves
+    # all phases, so seed/branch dispatches fold into this fused path.
+    gate_on = widths > 0.0
+    g = (os_ * 2.0 < widths) & (os_ * 2.0 > widths / 2.0)
+    g &= jnp.linalg.norm(oc - parent_c, axis=1) < widths * opt.EXTEND_DRIFT
 
     m = opt.DEPTH_TEST_FACTOR
     dt = depth_mod.depth_tests.__wrapped__(pack, ctx.cams, gate_imgs, opt,
@@ -1122,10 +1128,11 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     pf = depth_mod.pixel_free_tests.__wrapped__(pack, ctx.cams, gate_imgs,
                                                 opt, oc, os_, ov)
     nv = jnp.sum(ov >= 0, axis=1)
-    ok &= dt >= opt.MIN_IMAGES_PER_PATCH
-    ok &= vb < opt.MIN_IMAGES_PER_PATCH
-    ok &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
+    g &= dt >= opt.MIN_IMAGES_PER_PATCH
+    g &= vb < opt.MIN_IMAGES_PER_PATCH
+    g &= (pf >= opt.MIN_IMAGES_PER_PATCH - 1) \
         & (pf / jnp.maximum(nv, 1) > 0.75)
+    ok &= g | ~gate_on
     if has_pend:
         return oc, on, os_, ov, ok, col, pack.depth
     return oc, on, os_, ov, ok, col

@@ -156,21 +156,6 @@ def _local_imgs(tex, texb, row0, w, h):
                      height=h[0])
 
 
-def sharded_optimize_subset(mesh: Mesh, ctx: popt.SceneCtx, opt: Options):
-    """sharded_optimize twin whose shards read their OWN image slab (block-
-    major batch layout: shard b = block b's lanes, runtime/spatial.py)."""
-    def body(c, n, s, v, tex, texb, row0, w, h):
-        lctx = ctx._replace(imgs=_local_imgs(tex, texb, row0, w, h))
-        return popt._optimize_all(lctx, opt, c, n, s, v)
-
-    spec = P(("dp", "sp"))
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(spec,) * 4 + (spec,) * 5,
-                   out_specs=(spec,) * 7,
-                   check_vma=False)
-    return jax.jit(fn), mesh.devices.size
-
-
 def sharded_optimize_and_gate_subset(mesh: Mesh, ctx: popt.SceneCtx,
                                      opt: Options,
                                      pack: depth_mod.DepthPack,

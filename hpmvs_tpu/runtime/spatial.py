@@ -63,65 +63,78 @@ class SpatialEngine(Engine):
             raise ValueError("SpatialEngine requires a jax.sharding.Mesh")
         super().__init__(model, opt, images=images,
                          visdata_path=visdata_path, mesh=mesh)
-        self.n_blocks = int(mesh.devices.size)
+        self.n_shards = int(mesh.devices.size)
+        # oversubscribed fine Morton blocks, dynamically bin-packed onto
+        # shards each dispatch round -- the analog of the reference's
+        # >= 100 subtrees over ~8 threads with schedule(dynamic)
+        # (main.cpp:50-96,150); a 1-block-per-device static split measured
+        # 0.539 balance (SCALING.md section 4)
+        self.n_blocks = max(1, int(opt.BLOCK_OVERSUB)) * self.n_shards
         L = 0
         while 8 ** L < self.n_blocks:
             L += 1
         self.block_level = max(L, 1)
+        # block -> shard assignment; initially contiguous ranges (locality)
+        self.block_shard = ((np.arange(self.n_blocks) * self.n_shards)
+                            // self.n_blocks).astype(np.int64)
         self._halo_fns: Dict[Tuple[int, int], object] = {}
         # per-block image subsets (parallel/subsets.py): shard the packed
         # pyramid buffer so device b holds only block b's cameras
         self.image_subsets = image_subsets
         self._bpack_dev = None
         self._bpack_key = None
-        self._subset_fn = None
+        self._subset_gate_fn = None
+
+    def refresh_host_caches(self):
+        """Engine.refresh_host_caches + drop the subset closures and slabs:
+        they capture the scene tables (stale after a rebuild) and the root
+        cube key alone does not track scene growth."""
+        super().refresh_host_caches()
+        # __init__ calls the base ctor (which refreshes) before these exist
+        self._bpack_dev = None
+        self._bpack_key = None
         self._subset_gate_fn = None
 
     # ------------------------------------------------------------------
     # per-block image subsets
     # ------------------------------------------------------------------
     def _ensure_subsets(self):
-        """Build (or rebuild after a re-root) the per-block image slabs and
-        commit them to the mesh, sharded on the block dim."""
-        key = (tuple(self.tree.center), self.tree.width)
+        """Build (or rebuild after a re-root / rebalance) the per-SHARD
+        image slabs -- the union of the cameras seeing each shard's assigned
+        blocks -- and commit them to the mesh, sharded on the shard dim."""
+        key = (tuple(self.tree.center), self.tree.width,
+               self.block_shard.tobytes())
         if self._bpack_dev is not None and self._bpack_key == key:
             return
         from hpmvs_tpu.parallel import subsets
         imgs = self.scene.ctx.imgs
         w0 = np.asarray(imgs.width)[:, 0]
         h0 = np.asarray(imgs.height)[:, 0]
-        mask = subsets.assign_images_to_blocks(
+        bmask = subsets.assign_images_to_blocks(
             self.scene.ctx.cams, w0, h0, np.asarray(self.tree.center),
             self.tree.width, self.n_blocks, self.block_level)
+        # shard slab = union over its assigned blocks (main.cpp:50-96: a
+        # thread's working set is the subtrees it currently processes)
+        mask = np.zeros((self.n_shards, bmask.shape[1]), bool)
+        for b in range(self.n_blocks):
+            mask[self.block_shard[b]] |= bmask[b]
         host = subsets.build_block_packs(
             subsets.ImagePack(*(np.asarray(a) for a in imgs)), mask)
         self._bpack_dev = subsets.device_put_block_pack(self.mesh, host)
         self._bpack_key = key
-        self._subset_fn = None
         self._subset_gate_fn = None
         total_rows = int(np.asarray(imgs.tex).shape[0])
         self.stats["subset_cams_max"] = int(mask.sum(1).max())
         self.stats["subset_cams_mean"] = float(mask.sum(1).mean())
         self.stats["subset_rows_per_block"] = int(host.tex.shape[1])
         self.stats["subset_rows_replicated"] = total_rows
+        self.stats["subset_rebuilds"] += 1
         log.info(
-            "image subsets: %d cams -> %.1f mean / %d max per block; "
-            "%d rows/block vs %d replicated (%.0f%% HBM)",
+            "image subsets: %d cams -> %.1f mean / %d max per shard; "
+            "%d rows/shard vs %d replicated (%.0f%% HBM)",
             mask.shape[1], float(mask.sum(1).mean()), int(mask.sum(1).max()),
             host.tex.shape[1], total_rows,
             100.0 * host.tex.shape[1] / max(total_rows, 1))
-
-    def _sharded_opt_call(self, args):
-        if not self.image_subsets or self.tree is None:
-            return super()._sharded_opt_call(args)
-        self._ensure_subsets()
-        if self._subset_fn is None:
-            from hpmvs_tpu.parallel import subsets
-            self._subset_fn, _ = subsets.sharded_optimize_subset(
-                self.mesh, self.scene.ctx, self.opt)
-        bp = self._bpack_dev
-        return self._subset_fn(*args, bp.tex, bp.texb, bp.row0, bp.width,
-                               bp.height)
 
     def _sharded_gate_call(self, args, pargs):
         if not self.image_subsets or self.tree is None:
@@ -139,16 +152,55 @@ class SpatialEngine(Engine):
                                     bp.height)
 
     # ------------------------------------------------------------------
-    # block assignment: equal contiguous Morton-key ranges.
+    # block partition + dynamic assignment.
     #
-    # Measured alternative (SCALING.md): occupancy-weighted quantile splits
-    # (the getSubTrees leaf-richest analog, main.cpp:50-96) did NOT improve
-    # per-dispatch balance (0.497 vs 0.539 on the plane scene) because the
-    # active wavefront is spatially clustered -- a static split cannot
-    # balance a moving front -- while the boundaries bisecting the occupied
-    # mass raised migration volume 15% and order-divergence with it. Equal
-    # ranges win on both axes and need no split state.
+    # The partition is BLOCK_OVERSUB * n_shards equal contiguous Morton-key
+    # ranges; balance comes from re-binning the *active* blocks onto shards
+    # every dispatch round (largest-first greedy, LPT), not from moving the
+    # split boundaries: a static split measured 0.539 balance and an
+    # occupancy-weighted quantile split made it WORSE (0.497, +15%
+    # migration) because the active wavefront is spatially clustered -- only
+    # oversubscription + dynamic assignment can track a moving front, which
+    # is exactly how the reference gets its balance (~100 subtrees over ~8
+    # threads with schedule(dynamic), main.cpp:50-96,150).
     # ------------------------------------------------------------------
+    @staticmethod
+    def _lpt_assign(counts: np.ndarray, n_shards: int) -> np.ndarray:
+        """Largest-first greedy bin packing of per-block work onto shards."""
+        order = np.argsort(-counts, kind="stable")
+        load = np.zeros(n_shards, np.int64)
+        assign = np.zeros(len(counts), np.int64)
+        for b in order:
+            s = int(np.argmin(load))
+            assign[b] = s
+            load[s] += int(counts[b])
+        return assign
+
+    def _update_assignment(self, counts: np.ndarray):
+        """Re-bin blocks onto shards for this round's work distribution.
+
+        Without image subsets the assignment is free to change every round.
+        With subsets, the per-shard image slabs (committed HBM) depend on
+        the assignment, so it only changes when the current one's balance
+        drops below Options.REBALANCE_BELOW (hysteresis), paying one slab
+        rebuild per rebalance."""
+        total = int(counts.sum())
+        if total == 0:
+            return
+        if self.image_subsets and self._bpack_dev is not None:
+            cur = np.bincount(self.block_shard, weights=counts,
+                              minlength=self.n_shards)
+            bal = total / max(self.n_shards * cur.max(), 1)
+            if bal >= self.opt.REBALANCE_BELOW:
+                return
+        new = self._lpt_assign(counts, self.n_shards)
+        if np.array_equal(new, self.block_shard):
+            return
+        self.block_shard = new
+        self.stats["rebalances"] += 1
+        if self.image_subsets:
+            self._bpack_key = None   # per-shard unions changed
+
     def block_of_points(self, pts: np.ndarray) -> np.ndarray:
         """Contiguous Morton-range partition of the root cube: block =
         level-L key * n_blocks / 8^L. Points outside the root clamp to the
@@ -177,28 +229,32 @@ class SpatialEngine(Engine):
     # ------------------------------------------------------------------
     def _blockwise(self, blocks: np.ndarray, arrays, fills, dispatch, n_out):
         """Dispatch `arrays` (leading dim N) through the async `dispatch`
-        callable in block-major layout: each block owns an equal Lseg-lane
-        segment, so the ('dp','sp') batch sharding places block b's work on
-        shard b. Blocks with more than Lseg items run in multiple rounds;
-        every round's dispatch is enqueued before the single blocking fetch
+        callable in shard-major layout: the active blocks are LPT-binned
+        onto shards (one bin-pack per dispatch round), then each shard owns
+        an equal Lseg-lane segment of the ('dp','sp')-flattened batch.
+        Shards with more than Lseg items run in multiple rounds; every
+        round's dispatch is enqueued before the single blocking fetch
         (rounds have no host-side interdependency -- the depth pack threads
         on device), so round compute overlaps. Outputs return in the
         original item order."""
         import jax
         N = len(blocks)
-        order = np.argsort(blocks, kind="stable")
-        counts = np.bincount(blocks, minlength=self.n_blocks)
+        bcounts = np.bincount(blocks, minlength=self.n_blocks)
+        self._update_assignment(bcounts)
+        shards = self.block_shard[blocks]
+        order = np.argsort(shards, kind="stable")
+        counts = np.bincount(shards, minlength=self.n_shards)
         maxc = int(counts.max()) if N else 1
-        cap = max(self.opt.BATCH // self.n_blocks, 16)
+        cap = max(self.opt.BATCH // self.n_shards, 16)
         lseg = min(_bucket(max(maxc, 1), lo=16), cap)
         rounds = -(-maxc // lseg)
-        starts = np.zeros(self.n_blocks + 1, np.int64)
+        starts = np.zeros(self.n_shards + 1, np.int64)
         starts[1:] = np.cumsum(counts)
-        within = np.arange(N) - starts[blocks[order]]
+        within = np.arange(N) - starts[shards[order]]
         rnd = within // lseg
-        pos = blocks[order] * lseg + (within % lseg)
+        pos = shards[order] * lseg + (within % lseg)
 
-        B = self.n_blocks * lseg
+        B = self.n_shards * lseg
         outs = [None] * n_out
         t0 = time.time()
         devs, metas = [], []
@@ -221,23 +277,33 @@ class SpatialEngine(Engine):
                 outs[j][idx] = np.asarray(res[j])[pm]
         self.stats["block_work_lanes"] += N
         self.stats["block_pad_lanes"] += B * rounds - N
-        # imbalance alone (before bucket rounding): ideal equal-split lanes
-        # vs the max block's lanes -- the spatial-decomposition efficiency
-        self.stats["block_balance_den"] += self.n_blocks * maxc
+        # post-assignment balance: ideal equal-split lanes vs the busiest
+        # shard's lanes -- the spatial-decomposition efficiency
+        self.stats["block_balance_den"] += self.n_shards * maxc
         return tuple(outs)
 
     def _optimize(self, centers, normals, scales, views):
         if centers.shape[0] == 0 or self.tree is None:
             # seeding runs before the tree exists: fall back to flat batches
             return super()._optimize(centers, normals, scales, views)
+        # bare optimize (branch / streamed seeds) in block-major layout via
+        # the SAME fused dispatch as extend, gates off per-lane (widths < 0)
         blocks = self.block_of_points(centers)
-        res = self._blockwise(blocks, (centers, normals, scales, views),
-                              (0.0, 0.0, 0.0, -1), self._dispatch_optimize, 7)
-        self.stats["patches_optimized"] += centers.shape[0]
-        return res
+        n = centers.shape[0]
+        res = self._blockwise(
+            blocks, (centers, normals, scales, views,
+                     np.ascontiguousarray(centers, np.float32),
+                     np.full(n, -1.0, np.float32)),
+            (0.0, 0.0, 0.0, -1, 0.0, -1.0), self._dispatch_extend, 6)
+        self.stats["patches_optimized"] += n
+        return res + (np.zeros(n, np.float32),)
 
     def _extend_compute(self, centers, normals, scales, views, parent_c,
                         widths):
+        if self.tree is None:
+            # seeding runs before the tree exists: flat chunked batches
+            return super()._extend_compute(centers, normals, scales, views,
+                                           parent_c, widths)
         blocks = self.block_of_points(centers)
         res = self._blockwise(
             blocks, (centers, normals, scales, views, parent_c, widths),
@@ -258,74 +324,89 @@ class SpatialEngine(Engine):
     # ------------------------------------------------------------------
     def _route_extend(self, oc, on, os_, ov, ok, col, lv_t, prio_red,
                       src_cids) -> int:
-        src_blk = self.block_of_cells(src_cids)
-        dst_blk = self.block_of_points(oc)
-        remote = ok & (dst_blk != src_blk) & self.tree.contains(oc)
+        # migration is keyed on the OWNING SHARD (the device holding the
+        # block), not the block id: a candidate crossing into a sibling
+        # block on the same shard needs no wire traffic -- like the
+        # reference, where only patches leaving a processor's subtree take
+        # the border queue (CellProcessor.cpp:147-153)
+        src_sh = self.block_shard[self.block_of_cells(src_cids)]
+        dst_sh = self.block_shard[self.block_of_points(oc)]
+        remote = ok & (dst_sh != src_sh) & self.tree.contains(oc)
         local = ok & ~remote
         n = self._insert_new_patches(oc, on, os_, ov, local, col, lv_t,
                                      prio_red)
         if remote.any():
             n += self._halo_migrate(oc, on, os_, ov, col, lv_t, prio_red,
-                                    remote, src_blk, dst_blk)
+                                    remote, src_sh, dst_sh)
         return n
 
-    def _halo_fn(self, lanes: int, dim: int):
-        key = (lanes, dim)
+    def _halo_fn(self, k: int, slots: int, dim: int):
+        key = (k, slots, dim)
         if key not in self._halo_fns:
             from hpmvs_tpu.parallel import mesh as pmesh
-            # worst case: every lane of one source block targets the same
-            # destination -> slots = lanes guarantees no drops
-            self._halo_fns[key] = pmesh.make_halo_exchange(
-                self.mesh, self.n_blocks, lanes)
+            self._halo_fns[key] = pmesh.make_pairwise_halo(self.mesh, k,
+                                                           slots)
         return self._halo_fns[key]
 
     def _halo_migrate(self, oc, on, os_, ov, col, lv_t, prio_red, remote,
-                      src_blk, dst_blk) -> int:
-        """Ship remote extend candidates through the all_to_all halo
-        collective, then insert the arrivals owner-side with flatness 0 and
-        the dirty flag (CellProcessor.cpp:500-531)."""
+                      src_sh, dst_sh) -> int:
+        """Ship remote extend candidates through ragged halo hops, then
+        insert the arrivals owner-side with flatness 0 and the dirty flag
+        (CellProcessor.cpp:500-531).
+
+        Ragged composition: migrations are grouped by shard offset
+        k = (dst - src) mod n_shards; only offsets that actually carry
+        patches dispatch a ppermute hop, each sized (pow-2) to its own max
+        per-source count. All hops are enqueued before one blocking fetch,
+        so they ride the wire concurrently. The wire volume therefore
+        tracks the logical payload (SCALING.md; the dense all_to_all
+        measured 13-39x amplification), and nothing can be dropped -- every
+        row has a dedicated slot by construction."""
         K = ov.shape[1]
         D = self._HDR + K
-        idx = np.nonzero(remote)[0]
+        idx_all = np.nonzero(remote)[0]
 
-        # block-major send layout: lane = src_block * lanes + slot
-        order = np.argsort(src_blk[idx], kind="stable")
-        idx = idx[order]
-        sb = src_blk[idx]
-        counts = np.bincount(sb, minlength=self.n_blocks)
-        lanes = _bucket(max(int(counts.max()), 1), lo=16)
-        starts = np.zeros(self.n_blocks + 1, np.int64)
-        starts[1:] = np.cumsum(counts)
-        slot = np.arange(len(idx)) - starts[sb]
+        payload_all = np.zeros((len(idx_all), D), np.float32)
+        payload_all[:, 0:3] = oc[idx_all]
+        payload_all[:, 3:6] = on[idx_all]
+        payload_all[:, 6] = os_[idx_all]
+        payload_all[:, 7:10] = col[idx_all]
+        payload_all[:, 10] = lv_t[idx_all]
+        payload_all[:, 11] = prio_red[idx_all]
+        payload_all[:, self._HDR:] = ov[idx_all].astype(np.float32)
 
-        B = self.n_blocks * lanes
-        payload = np.zeros((B, D), np.float32)
-        block_of = np.full((B,), -1, np.int32)
-        lane = sb * lanes + slot
-        payload[lane, 0:3] = oc[idx]
-        payload[lane, 3:6] = on[idx]
-        payload[lane, 6] = os_[idx]
-        payload[lane, 7:10] = col[idx]
-        payload[lane, 10] = lv_t[idx]
-        payload[lane, 11] = prio_red[idx]
-        payload[lane, self._HDR:] = ov[idx].astype(np.float32)
-        block_of[lane] = dst_blk[idx]
-
-        import jax
-        import jax.numpy as jnp
-        recv, valid, dropped = self._fetch(self._halo_fn(lanes, D)(
-            self._dev_batch(block_of), self._dev_batch(payload)))
-        recv = np.asarray(recv)
-        valid = np.asarray(valid)
-        self.stats["migrated"] += len(idx)
-        self.stats["halo_dropped"] += int(dropped)
-        # wire accounting for the scaling model (SCALING.md): logical patch
-        # payload vs the padded all_to_all buffer actually moved
-        self.stats["halo_bytes_logical"] += len(idx) * D * 4
-        self.stats["halo_bytes_wire"] += self.n_blocks * self.n_blocks \
-            * lanes * D * 4
+        koff = (dst_sh[idx_all] - src_sh[idx_all]) % self.n_shards
+        devs = []
+        t0 = time.time()
+        for k in np.unique(koff):
+            rows = np.nonzero(koff == k)[0]
+            sb = src_sh[idx_all[rows]]
+            counts = np.bincount(sb, minlength=self.n_shards)
+            # exact slots: a ppermute graph is tiny, so per-size compiles
+            # are cheap and the buffer carries no ladder padding
+            slots = max(int(counts.max()), 1)
+            starts = np.zeros(self.n_shards + 1, np.int64)
+            starts[1:] = np.cumsum(counts)
+            order = np.argsort(sb, kind="stable")
+            lane = sb[order] * slots + (np.arange(len(rows)) - starts[sb[order]])
+            pay = np.zeros((self.n_shards * slots, D), np.float32)
+            val = np.zeros((self.n_shards * slots,), bool)
+            pay[lane] = payload_all[rows[order]]
+            val[lane] = True
+            devs.append(self._halo_fn(int(k), slots, D)(
+                self._dev_batch(pay), self._dev_batch(val)))
+            self.stats["halo_bytes_wire"] += self.n_shards * slots * (D * 4 + 1)
+        got = self._fetch(devs)
+        self.stats["t_device"] += time.time() - t0
         self.stats["halo_rounds"] += 1
+        self.stats["halo_hops"] += len(devs)
+        self.stats["migrated"] += len(idx_all)
+        # wire accounting for the scaling model (SCALING.md): logical patch
+        # payload vs the ragged hop buffers actually moved
+        self.stats["halo_bytes_logical"] += len(idx_all) * D * 4
 
+        recv = np.concatenate([np.asarray(g[0]) for g in got])
+        valid = np.concatenate([np.asarray(g[1]) for g in got])
         a = np.nonzero(valid)[0]
         if len(a) == 0:
             return 0

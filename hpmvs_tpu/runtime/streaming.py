@@ -86,7 +86,6 @@ class StreamingEngine:
         # so every existing (image, level) keeps its offsets)
         eng.scene = scene_mod.build_scene(self.model, opt, images=self.images)
         eng.refresh_host_caches()
-        eng._sharded_fn = None  # stale ctx closure
         new_pack = depth_mod.build_depth_pack(
             np.asarray(eng.scene.ctx.imgs.width),
             np.asarray(eng.scene.ctx.imgs.height), opt.DEPTH_SUBSAMPLE)
@@ -138,7 +137,9 @@ class StreamingEngine:
 
         # insertion into the live tree: join an occupied containing cell as a
         # multi-patch entry (filtered later), else create a cell at
-        # max(width-formula level, structure level)
+        # max(width-formula level, structure level). Fully grouped -- same
+        # vectorized path as Engine.seed (add semantics, doctree.h:378-394);
+        # a 10^5-point chunk inserts in milliseconds of host time.
         owner = eng.tree.containing_cell(c)
         lv = eng.tree.level_for_width(s)
         sl = eng.tree.structure_level(c)
@@ -151,22 +152,30 @@ class StreamingEngine:
         eng.patches.views[pids] = v
         eng.patches.color[pids] = col
 
-        n_new_cells = 0
-        for i, pid in enumerate(pids):
-            if owner[i] >= 0:
-                cid = int(owner[i])
-            else:
-                key = eng.tree.key_at(c[i:i + 1], int(lv[i]))
-                existing = eng.tree.lookup(np.asarray([lv[i]]), key)
-                if existing[0] >= 0:
-                    cid = int(existing[0])
-                else:
-                    cid = int(eng.tree.alloc_cells(
-                        np.asarray([lv[i]], np.int8), key)[0])
-                    n_new_cells += 1
-            eng._insert_patch(int(pid), cid)
-            level = int(eng.tree.level[cid])
-            eng._push(level * 10, cid)
+        cid_all = np.empty(len(c), np.int64)
+        has_owner = owner >= 0
+        cid_all[has_owner] = owner[has_owner]
+        idx = np.nonzero(~has_owner)[0]
+        if len(idx):
+            lvs = lv[idx]
+            keys = np.zeros(len(idx), np.uint64)
+            for L in np.unique(lvs):
+                m = lvs == L
+                keys[m] = eng.tree.key_at(c[idx[m]], int(L))
+            # several seeds may target the same missing cell: alloc each
+            # distinct (level, key) once, join the rest as multi-patch
+            pair = np.stack([lvs.astype(np.uint64), keys])
+            uniq, inv = np.unique(pair, axis=1, return_inverse=True)
+            existing = eng.tree.lookup(uniq[0].astype(np.int64),
+                                       uniq[1].astype(np.uint64))
+            new_mask = existing < 0
+            fresh = eng.tree.alloc_cells(uniq[0][new_mask].astype(np.int8),
+                                         uniq[1][new_mask].astype(np.uint64))
+            cell_ids = existing.copy()
+            cell_ids[new_mask] = fresh
+            cid_all[idx] = cell_ids[inv]
+        eng.insert_patches(pids, cid_all)
+        eng._push_many(eng.tree.level[cid_all].astype(np.int64) * 10, cid_all)
         eng._set_depths(pids)
         eng.stats["stream_seeds"] += len(pids)
         return len(pids)

@@ -65,7 +65,6 @@ class Engine:
         self.opt = opt
         self.model = model
         self.mesh = mesh          # jax.sharding.Mesh -> sharded optimize
-        self._sharded_fn = None
         self._sharded_gate_fn = None
         self._flush_fn = None
         self.scene = scene_mod.build_scene(model, opt, images=images,
@@ -141,7 +140,6 @@ class Engine:
         self.cam_xaxis_np = np.asarray(self.scene.ctx.cams.xaxis)
         self.cam_fsum_np = np.asarray(self.scene.ctx.cams.fsum)
         # sharded closures capture scene/pack tables: rebuild after growth
-        self._sharded_fn = None
         self._sharded_gate_fn = None
         self._flush_fn = None
 
@@ -225,39 +223,19 @@ class Engine:
             self.queue[int(pr)].append(cids[prios == pr])
 
     def _optimize(self, centers, normals, scales, views):
-        """Bucketed batched optimize (pads to bounded shapes to limit
-        recompilation, SURVEY.md section 7 'hard parts'). With a mesh, the
-        batch shards across devices (the OpenMP-over-subtrees analog).
-        Batches beyond Options.BATCH are chunked to bound the window-cache
-        footprint."""
+        """Bare batched optimize (seed / branch candidates), routed through
+        the SAME fused optimize+gates+setDepths dispatch as extend with the
+        per-lane gates disabled (widths < 0): one executable serves every
+        phase -- the reference likewise has one optimizer for all phases
+        (PatchOptimizer.cpp:78) -- and pending deferred depth updates ride
+        along instead of needing their own flush. Returns the 7-tuple
+        (center, normal, scale, views, ok, color, resid-placeholder)."""
         n = centers.shape[0]
-        cap = max(self.opt.BATCH, 16)
-        if n > cap:
-            # software pipeline: enqueue EVERY chunk's dispatch before the
-            # first blocking fetch -- JAX dispatch is async, so chunk i+1's
-            # compute (and this sandbox's per-RPC floor) overlaps chunk i's.
-            # Routing only consumes the concatenated result, so semantics
-            # are unchanged (SCALING.md: lookahead hides host/dispatch cost).
-            import jax
-            t0 = time.time()
-            devs, lens = [], []
-            for i in range(0, n, cap):
-                m = min(cap, n - i)
-                devs.append(self._dispatch_optimize(
-                    *self._pad_chunk((centers[i:i + cap], normals[i:i + cap],
-                                      scales[i:i + cap], views[i:i + cap]),
-                                     (0.0, 0.0, 0.0, -1), m)))
-                lens.append(m)
-            got = self._fetch(devs)  # one transfer for all chunks
-            self.stats["t_device"] += time.time() - t0
-            self.stats["patches_optimized"] += n
-            return tuple(np.concatenate([np.array(g[j])[:m]
-                                         for g, m in zip(got, lens)])
-                         for j in range(7))
-        res = self._call_optimize(*self._pad_chunk(
-            (centers, normals, scales, views), (0.0, 0.0, 0.0, -1), n))
-        self.stats["patches_optimized"] += n
-        return tuple(x[:n] for x in res)
+        res = self._extend_compute(
+            centers, normals, scales, views,
+            np.ascontiguousarray(centers, np.float32),
+            np.full(n, -1.0, np.float32))
+        return res + (np.zeros(n, np.float32),)
 
     def _pad_chunk(self, arrays, fills, n):
         """Pad a <=BATCH chunk to its bucketed (mesh-divisible) shape."""
@@ -271,38 +249,6 @@ class Engine:
             buf[:n] = a[:n]
             out.append(buf)
         return tuple(out)
-
-    def _dispatch_optimize(self, centers, normals, scales, views):
-        """Enqueue the batched-optimizer dispatch on an already padded batch;
-        returns DEVICE arrays without blocking (async JAX dispatch)."""
-        args = (self._dev_batch(centers), self._dev_batch(normals),
-                self._dev_batch(scales), self._dev_batch(views))
-        if self.mesh is not None:
-            res = self._sharded_opt_call(args)
-        else:
-            res = popt.optimize_batch(self.scene.ctx, self.opt, *args)
-        self.stats["dispatches"] += 1
-        self.stats["disp_optimize"] += 1
-        return res
-
-    def _sharded_opt_call(self, args):
-        """Mesh-path optimize dispatch (SpatialEngine overrides to use the
-        per-block image-subset variant)."""
-        if self._sharded_fn is None:
-            from hpmvs_tpu.parallel import mesh as pmesh
-            self._sharded_fn, _ = pmesh.sharded_optimize(
-                self.mesh, self.scene.ctx, self.opt)
-        return self._sharded_fn(*args)
-
-    def _call_optimize(self, centers, normals, scales, views):
-        """Raw device dispatch of the batched optimizer on an already
-        padded/shaped batch. Returns 7 writable np arrays of full length."""
-        import jax
-        t0 = time.time()
-        res = self._fetch(self._dispatch_optimize(
-            centers, normals, scales, views))
-        self.stats["t_device"] += time.time() - t0
-        return tuple(np.array(x) for x in res)  # writable
 
     def _set_depths(self, pids: np.ndarray, subtract: bool = False):
         """Scene::setDepths. BOTH adds and subtracts are DEFERRED: they
