@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     help="only reconstruct within the scene-center sphere")
     ap.add_argument("--ba", action="store_true",
                     help="bundle-adjust cameras+points before densification")
+    ap.add_argument("--ba_dense", action="store_true",
+                    help="bundle-adjust cameras+PATCHES after densification "
+                         "(Schur point-block elimination over the dense "
+                         "cloud; depth buffers replay under the result)")
     ap.add_argument("--start_level", type=int, default=None,
                     help="pyramid level for seed patches (default 4)")
     ap.add_argument("--max_views", type=int, default=None,
@@ -117,7 +121,8 @@ def main(argv=None) -> int:
                                        snapshot_hook=snapshot_hook,
                                        resume=args.resume,
                                        spatial=args.spatial,
-                                       image_subsets=args.image_subsets)
+                                       image_subsets=args.image_subsets,
+                                       ba_dense=args.ba_dense)
     finally:
         if args.profile:
             import jax

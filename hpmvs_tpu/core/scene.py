@@ -91,9 +91,15 @@ def _chunked_put(a: np.ndarray, chunk_bytes: int = 64 << 20):
 
 def build_scene(model: nvm_io.NvmModel, opt: Options,
                 images: Optional[list] = None,
-                visdata_path: Optional[str] = None) -> Scene:
+                visdata_path: Optional[str] = None,
+                host_pack: bool = False) -> Scene:
     """Load images, build cameras and the device scene context
-    (Scene::addCameras, Scene.cpp:42-88)."""
+    (Scene::addCameras, Scene.cpp:42-88).
+
+    host_pack: keep the packed pyramid buffers (tex/texb) as host numpy --
+    for per-block image subsets, where the replicated pack may exceed one
+    chip's HBM and only the per-shard slabs ever land on device
+    (parallel/subsets.py). The small dim tables still device-commit."""
     if images is None:
         imgs = pyr.load_scene_images(model.cameras, opt.n_levels)
     else:
@@ -109,8 +115,10 @@ def build_scene(model: nvm_io.NvmModel, opt: Options,
 
     ctx = popt.SceneCtx(
         cams=cams,
-        imgs=imgs._replace(tex=_chunked_put(imgs.tex),
-                           texb=_chunked_put(imgs.texb),
+        imgs=imgs._replace(tex=(imgs.tex if host_pack
+                                else _chunked_put(imgs.tex)),
+                           texb=(imgs.texb if host_pack
+                                 else _chunked_put(imgs.texb)),
                            row0=jnp.asarray(imgs.row0),
                            width=jnp.asarray(imgs.width),
                            height=jnp.asarray(imgs.height)),

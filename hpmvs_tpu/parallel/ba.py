@@ -109,10 +109,10 @@ def build_problem(model, max_points: int = 0) -> BAProblem:
 
 
 @functools.partial(jax.jit, static_argnames=("n_cams", "n_pts", "iters",
-                                             "cg_iters", "fix_first"))
+                                             "cg_iters", "fix_count"))
 def ba_solve(prob: BAProblem, n_cams: int, n_pts: int, iters: int = 5,
              cg_iters: int = 30, damping: float = 1e-3,
-             fix_first: bool = True):
+             fix_count: int = 1):
     """Gauss-Newton BA with point elimination; single-device version.
 
     Returns (cam_params (C,6), points (Pn,3), rms_history (iters+1,))."""
@@ -128,7 +128,7 @@ def ba_solve(prob: BAProblem, n_cams: int, n_pts: int, iters: int = 5,
                         / jnp.maximum(jnp.sum(w), 1.0))
 
     def gn_step(state, _):
-        cam, pts = state
+        cam, pts, lam = state
         cc = prob.m_cam
         pp = prob.m_pt
         args = (cam[cc], pts[pp], prob.cam_K[cc], prob.cam_R0[cc],
@@ -148,7 +148,6 @@ def ba_solve(prob: BAProblem, n_cams: int, n_pts: int, iters: int = 5,
         bp = jax.ops.segment_sum(
             prob.m_w[:, None] * jnp.einsum("mia,mi->ma", Jp, r), pp, n_pts)
 
-        lam = damping
         Hpp = Hpp + lam * jnp.eye(3)
         Hpp_inv = jnp.linalg.inv(Hpp)                   # (P,3,3)
 
@@ -159,9 +158,13 @@ def ba_solve(prob: BAProblem, n_cams: int, n_pts: int, iters: int = 5,
             cc, n_cams)
         b_s = bc - Hcp_y
 
+        # gauge fix: freeze the first fix_count cameras. ONE camera pins
+        # 6 DoF but leaves the global-scale gauge free (reprojection-only
+        # BA); solutions then drift along a scale-about-camera-0 direction.
+        # TWO anchors pin the full 7-DoF similarity gauge.
         mask_c = jnp.ones((n_cams, 1))
-        if fix_first:
-            mask_c = mask_c.at[0].set(0.0)              # gauge fix
+        if fix_count > 0:
+            mask_c = mask_c.at[:fix_count].set(0.0)
 
         def s_matvec(xc):
             """S @ xc without materializing S: per-measurement assembly."""
@@ -208,17 +211,21 @@ def ba_solve(prob: BAProblem, n_cams: int, n_pts: int, iters: int = 5,
 
         new_cam = cam + dc
         new_pts = pts + dp
-        # accept only if the step reduces the RMS (simple safeguard)
+        # Levenberg adaptation: accept + relax on improvement, reject +
+        # stiffen otherwise (a fixed damping stalls when the first full GN
+        # step overshoots on large dense-cloud problems)
         r_new = res_fn(new_cam[cc], new_pts[pp], prob.cam_K[cc],
                        prob.cam_R0[cc], prob.cam_t0[cc], prob.m_uv)
         better = rms(r_new, prob.m_w) < rms(r, prob.m_w)
         cam = jnp.where(better, new_cam, cam)
         pts = jnp.where(better, new_pts, pts)
-        return (cam, pts), rms(r, prob.m_w)
+        lam = jnp.where(better, jnp.maximum(lam / 3.0, 1e-6), lam * 10.0)
+        return (cam, pts, lam), rms(r, prob.m_w)
 
     cam0 = jnp.zeros((n_cams, 6), jnp.float32)
-    (cam, pts), hist = jax.lax.scan(gn_step, (cam0, prob.pts0), None,
-                                    length=iters)
+    (cam, pts, _), hist = jax.lax.scan(
+        gn_step, (cam0, prob.pts0, jnp.float32(damping)), None,
+        length=iters)
     cc = prob.m_cam
     r_fin = res_fn(cam[cc], pts[prob.m_pt], prob.cam_K[cc], prob.cam_R0[cc],
                    prob.cam_t0[cc], prob.m_uv)
@@ -228,7 +235,7 @@ def ba_solve(prob: BAProblem, n_cams: int, n_pts: int, iters: int = 5,
 
 def ba_solve_sharded(mesh: Mesh, prob: BAProblem, n_cams: int, n_pts: int,
                      iters: int = 5, cg_iters: int = 30,
-                     damping: float = 1e-3):
+                     damping: float = 1e-3, fix_count: int = 1):
     """Distributed BA: measurements sharded by point over the mesh; every
     per-camera accumulation and every CG matvec psums across shards.
 
@@ -251,7 +258,7 @@ def ba_solve_sharded(mesh: Mesh, prob: BAProblem, n_cams: int, n_pts: int,
             return jax.lax.psum(x, ("dp", "sp"))
 
         def gn_step(state, _):
-            cam, pts = state
+            cam, pts, lam = state
             cc, pp = local.m_cam, local.m_pt
             args = (cam[cc], pts[pp], prob.cam_K[cc], prob.cam_R0[cc],
                     prob.cam_t0[cc], local.m_uv)
@@ -271,7 +278,6 @@ def ba_solve_sharded(mesh: Mesh, prob: BAProblem, n_cams: int, n_pts: int,
                 w3 * jnp.einsum("mia,mib->mab", Jp, Jp), pp, n_pts)
             bp = jax.ops.segment_sum(
                 w2 * jnp.einsum("mia,mi->ma", Jp, r), pp, n_pts)
-            lam = damping
             Hpp_local = Hpp + lam * jnp.eye(3) \
                 * (jnp.abs(Hpp).sum((1, 2), keepdims=True) > 0)
             # gather the full point-block table (points partitioned by shard)
@@ -284,7 +290,7 @@ def ba_solve_sharded(mesh: Mesh, prob: BAProblem, n_cams: int, n_pts: int,
             b_s = bc - psum(jax.ops.segment_sum(
                 w2 * jnp.einsum("mia,mib,mb->ma", Jc, Jp, y[pp]), cc, n_cams))
 
-            mask_c = jnp.ones((n_cams, 1)).at[0].set(0.0)
+            mask_c = jnp.ones((n_cams, 1)).at[:fix_count].set(0.0)
 
             def s_matvec(xc):
                 xc = xc.reshape(n_cams, 6) * mask_c
@@ -324,13 +330,24 @@ def ba_solve_sharded(mesh: Mesh, prob: BAProblem, n_cams: int, n_pts: int,
                 w2 * jnp.einsum("mia,mib,mb->ma", Jp, Jc, dc[cc]), pp, n_pts))
             dp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp_all + z)
 
-            sq = psum(jnp.sum(local.m_w * jnp.sum(r * r, -1)))
-            nw = psum(jnp.sum(local.m_w))
-            return (cam + dc, pts + dp), jnp.sqrt(sq / jnp.maximum(nw, 1.0))
+            def prms(rr, ww):
+                sq = psum(jnp.sum(ww * jnp.sum(rr * rr, -1)))
+                nw = psum(jnp.sum(ww))
+                return jnp.sqrt(sq / jnp.maximum(nw, 1.0))
+
+            new_cam, new_pts = cam + dc, pts + dp
+            r_new = res_fn(new_cam[cc], new_pts[pp], prob.cam_K[cc],
+                           prob.cam_R0[cc], prob.cam_t0[cc], local.m_uv)
+            better = prms(r_new, local.m_w) < prms(r, local.m_w)
+            cam = jnp.where(better, new_cam, cam)
+            pts = jnp.where(better, new_pts, pts)
+            lam = jnp.where(better, jnp.maximum(lam / 3.0, 1e-6), lam * 10.0)
+            return (cam, pts, lam), prms(r, local.m_w)
 
         cam0 = jnp.zeros((n_cams, 6), jnp.float32)
-        (cam, pts), hist = jax.lax.scan(gn_step, (cam0, prob.pts0), None,
-                                        length=iters)
+        (cam, pts, _), hist = jax.lax.scan(
+            gn_step, (cam0, prob.pts0, jnp.float32(damping)), None,
+            length=iters)
         return cam, pts, hist
 
     spec = P(("dp", "sp"))
@@ -378,6 +395,131 @@ def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
                          m_pt=jnp.asarray(out_pt.reshape(-1)),
                          m_uv=jnp.asarray(out_uv.reshape(-1, 2)),
                          m_w=jnp.asarray(out_w.reshape(-1)))
+
+
+def build_dense_problem(model, centers: np.ndarray,
+                        views: np.ndarray) -> BAProblem:
+    """BAProblem over DENSIFIED PATCHES: point i = patch center i, with one
+    measurement per entry of its view list, uv = the patch's reprojection
+    under the given cameras (its creation-time observation).
+
+    This is the cameras+PATCHES bundle adjustment of the north star
+    (BASELINE.json; no reference referent): the dense cloud acts as a large
+    tie-point set. When cameras drift after densification (streaming SfM
+    updates, perturbation), re-solving against these stored observations
+    recovers the cameras and re-consistencies the patch centers -- the
+    Schur point-block elimination scales to 10^5+ patches because H_pp
+    stays 3x3 block-diagonal exactly as for sparse points."""
+    from hpmvs_tpu.testing import _quatR
+    ncam = len(model.cameras)
+    K = np.zeros((ncam, 3, 3))
+    R0 = np.zeros((ncam, 3, 3))
+    t0 = np.zeros((ncam, 3))
+    f = np.zeros(ncam)
+    for ci, cam in enumerate(model.cameras):
+        K[ci] = np.array([[cam.f, 0, 0], [0, cam.f, 0], [0, 0, 1]])
+        R0[ci] = _quatR(cam.rq)
+        t0[ci] = -R0[ci] @ cam.c
+        f[ci] = cam.f
+
+    views = np.asarray(views)
+    centers = np.asarray(centers, np.float64)
+    pt_idx, k_idx = np.nonzero(views >= 0)
+    cam_idx = views[pt_idx, k_idx].astype(np.int64)
+    # uv (principal-point-relative, the NVM/VisualSFM convention the
+    # residual's cx=cy=0 intrinsics expect)
+    xc = np.einsum("mij,mj->mi", R0[cam_idx], centers[pt_idx]) + t0[cam_idx]
+    z = np.maximum(xc[:, 2], 1e-6)
+    uv = f[cam_idx, None] * xc[:, :2] / z[:, None]
+    keep = xc[:, 2] > 1e-6
+    return BAProblem(
+        cam_K=jnp.asarray(K, jnp.float32),
+        cam_R0=jnp.asarray(R0, jnp.float32),
+        cam_t0=jnp.asarray(t0, jnp.float32),
+        pts0=jnp.asarray(centers, jnp.float32),
+        m_cam=jnp.asarray(cam_idx[keep], jnp.int32),
+        m_pt=jnp.asarray(pt_idx[keep], jnp.int32),
+        m_uv=jnp.asarray(uv[keep], jnp.float32),
+        m_w=jnp.ones((int(keep.sum()),), jnp.float32))
+
+
+def apply_cameras_to_model(model, cam_params: np.ndarray):
+    """Write refined camera parameters back into a (copied) NVM model,
+    leaving the sparse points untouched."""
+    import copy
+    from hpmvs_tpu.testing import _quatR, _rot_to_quat
+    out = copy.deepcopy(model)
+    cam_params = np.asarray(cam_params, np.float64)
+    for ci, cam in enumerate(out.cameras):
+        R0 = _quatR(cam.rq)
+        t0 = -R0 @ cam.c
+        w = cam_params[ci, :3]
+        th = np.linalg.norm(w) + 1e-12
+        Km = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                       [-w[1], w[0], 0]]) / th
+        R = R0 @ (np.eye(3) + np.sin(th) * Km + (1 - np.cos(th)) * (Km @ Km))
+        t = t0 + cam_params[ci, 3:6]
+        cam.rq = _rot_to_quat(R)
+        cam.c = -R.T @ t
+    return out
+
+
+def apply_dense_ba(engine, iters: int = 8, cg_iters: int = 40,
+                   problem: BAProblem = None, fix_count: int = 2):
+    """Run cameras+patches BA on a densified engine and fold the result
+    back in: camera SoA rebuilt, patch centers updated, depth z-buffers
+    replayed from scratch (one _set_depths pass over the live patches).
+
+    problem: pass a pre-built BAProblem whose observations were recorded
+    under earlier cameras (drift correction); default builds one from the
+    CURRENT state (then the solve is a consistency no-op unless cameras
+    have been perturbed since densification).
+
+    Sharding: with engine.mesh, the measurement table shards by patch over
+    the mesh and every reduction is a psum (ba_solve_sharded)."""
+    import jax
+    p = engine.patches
+    pids = np.nonzero(p.alive[:p.n])[0]
+    if len(pids) == 0:
+        return None
+    centers = p.center[pids]
+    views = p.views[pids]
+    if problem is None:
+        problem = build_dense_problem(engine.model, centers, views)
+    n_cams = len(engine.model.cameras)
+    n_pts = len(pids)
+    if engine.mesh is not None:
+        prob = shard_problem(problem, engine.mesh.devices.size)
+        cam, pts, hist = ba_solve_sharded(engine.mesh, prob, n_cams, n_pts,
+                                          iters=iters, cg_iters=cg_iters,
+                                          fix_count=fix_count)
+    else:
+        cam, pts, hist = ba_solve(problem, n_cams, n_pts, iters=iters,
+                                  cg_iters=cg_iters, fix_count=fix_count)
+    cam, pts, hist = (np.asarray(cam), np.asarray(pts), np.asarray(hist))
+
+    # fold back: cameras -> model + device SoA, centers -> patch store,
+    # depth z-buffers replayed under the new geometry
+    from hpmvs_tpu.geom import camera as cam_ops
+    from hpmvs_tpu.core import depth as depth_mod
+    import jax.numpy as jnp
+    engine.model = apply_cameras_to_model(engine.model, cam)
+    widths = [int(w) for w in engine.scene.width_np[:, 0]]
+    heights = [int(h) for h in engine.scene.height_np[:, 0]]
+    cams = cam_ops.build_cameras(engine.model.cameras, widths, heights,
+                                 engine.opt.MAXLEVEL)
+    engine.scene = engine.scene._replace(
+        ctx=engine.scene.ctx._replace(cams=cams))
+    engine.patches.center[pids] = pts
+    engine.refresh_host_caches()
+    engine._pend = []
+    fresh = depth_mod.build_depth_pack(engine.scene.width_np,
+                                       engine.scene.height_np,
+                                       engine.opt.DEPTH_SUBSAMPLE)
+    engine.pack = engine.pack._replace(depth=fresh.depth)
+    engine._set_depths(pids)
+    engine._flush_depths()
+    return hist
 
 
 def apply_to_model(model, cam_params: np.ndarray, points: np.ndarray):

@@ -45,7 +45,7 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
         snapshot_hook=None, max_prio: Optional[int] = None,
         bundle_adjust: bool = False, resume: Optional[str] = None,
         mesh="auto", spatial: bool = False,
-        image_subsets: bool = False) -> Engine:
+        image_subsets: bool = False, ba_dense: bool = False) -> Engine:
     """Progressive densification main loop (main.cpp:145-202).
 
     bundle_adjust: refine cameras + sparse points by Schur-complement BA
@@ -147,6 +147,18 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
              100.0 * host_frac)
     engine.stats["proc_time"] = proc_time
     engine.stats["host_fraction"] = host_frac
+
+    if ba_dense and engine.n_alive() > 0:
+        # cameras+PATCHES bundle adjustment (north-star capability): the
+        # dense cloud is the tie-point set; cameras + centers re-solve
+        # jointly by Schur point-block elimination, then the depth buffers
+        # replay under the refined geometry (parallel/ba.apply_dense_ba)
+        from hpmvs_tpu.parallel import ba
+        hist = ba.apply_dense_ba(engine)
+        if hist is not None:
+            log.info("dense BA over %d patches: reprojection RMS "
+                     "%.4f -> %.4f px", engine.n_alive(),
+                     float(hist[0]), float(hist[-1]))
 
     engine.save_ply(os.path.join(opt.OUTFOLDER, "patches-final.ply"))
     if light_output > 0:

@@ -61,8 +61,11 @@ class SpatialEngine(Engine):
                  mesh=None, image_subsets: bool = False):
         if mesh is None:
             raise ValueError("SpatialEngine requires a jax.sharding.Mesh")
+        # with image subsets the replicated pack may exceed one chip's HBM:
+        # keep it host-side; only the per-shard slabs ever device-commit
         super().__init__(model, opt, images=images,
-                         visdata_path=visdata_path, mesh=mesh)
+                         visdata_path=visdata_path, mesh=mesh,
+                         host_images=image_subsets)
         self.n_shards = int(mesh.devices.size)
         # oversubscribed fine Morton blocks, dynamically bin-packed onto
         # shards each dispatch round -- the analog of the reference's
@@ -77,6 +80,17 @@ class SpatialEngine(Engine):
         # block -> shard assignment; initially contiguous ranges (locality)
         self.block_shard = ((np.arange(self.n_blocks) * self.n_shards)
                             // self.n_blocks).astype(np.int64)
+        # provisional partition cube from the SfM points: seeding runs
+        # block-major BEFORE the real tree exists (required for subsets --
+        # the global pack never lands on device -- and keeps one dispatch
+        # layout for all phases)
+        self._provisional = None
+        if model.n_points > 0:
+            from hpmvs_tpu.core.octree import LinearOctree
+            pts = np.asarray(model.points_xyz)
+            mn, mx = pts.min(0), pts.max(0)
+            width = max(float((mx - mn).max()) * 1.2, 1e-6)
+            self._provisional = LinearOctree((mn + mx) / 2.0, width)
         self._halo_fns: Dict[Tuple[int, int], object] = {}
         # per-block image subsets (parallel/subsets.py): shard the packed
         # pyramid buffer so device b holds only block b's cameras
@@ -98,12 +112,17 @@ class SpatialEngine(Engine):
     # ------------------------------------------------------------------
     # per-block image subsets
     # ------------------------------------------------------------------
+    def _btree(self):
+        """The partition cube: the real octree once seeded, else the
+        provisional SfM-point cube (block-major seeding)."""
+        return self.tree if self.tree is not None else self._provisional
+
     def _ensure_subsets(self):
         """Build (or rebuild after a re-root / rebalance) the per-SHARD
         image slabs -- the union of the cameras seeing each shard's assigned
         blocks -- and commit them to the mesh, sharded on the shard dim."""
-        key = (tuple(self.tree.center), self.tree.width,
-               self.block_shard.tobytes())
+        t = self._btree()
+        key = (tuple(t.center), t.width, self.block_shard.tobytes())
         if self._bpack_dev is not None and self._bpack_key == key:
             return
         from hpmvs_tpu.parallel import subsets
@@ -111,8 +130,8 @@ class SpatialEngine(Engine):
         w0 = np.asarray(imgs.width)[:, 0]
         h0 = np.asarray(imgs.height)[:, 0]
         bmask = subsets.assign_images_to_blocks(
-            self.scene.ctx.cams, w0, h0, np.asarray(self.tree.center),
-            self.tree.width, self.n_blocks, self.block_level)
+            self.scene.ctx.cams, w0, h0, np.asarray(t.center),
+            t.width, self.n_blocks, self.block_level)
         # shard slab = union over its assigned blocks (main.cpp:50-96: a
         # thread's working set is the subtrees it currently processes)
         mask = np.zeros((self.n_shards, bmask.shape[1]), bool)
@@ -137,7 +156,7 @@ class SpatialEngine(Engine):
             100.0 * host.tex.shape[1] / max(total_rows, 1))
 
     def _sharded_gate_call(self, args, pargs):
-        if not self.image_subsets or self.tree is None:
+        if not self.image_subsets or self._btree() is None:
             return super()._sharded_gate_call(args, pargs)
         self._ensure_subsets()
         if self._subset_gate_fn is None:
@@ -206,7 +225,8 @@ class SpatialEngine(Engine):
         level-L key * n_blocks / 8^L. Points outside the root clamp to the
         nearest boundary cell (they are dropped by the insertion gates
         anyway, like the reference's outside-root border patches)."""
-        key = self.tree.key_at(pts, self.block_level).astype(np.int64)
+        t = self._btree()
+        key = t.key_at(pts, self.block_level).astype(np.int64)
         return (key * self.n_blocks) >> (3 * self.block_level)
 
     def block_of_cells(self, cids: np.ndarray) -> np.ndarray:
@@ -283,8 +303,7 @@ class SpatialEngine(Engine):
         return tuple(outs)
 
     def _optimize(self, centers, normals, scales, views):
-        if centers.shape[0] == 0 or self.tree is None:
-            # seeding runs before the tree exists: fall back to flat batches
+        if centers.shape[0] == 0 or self._btree() is None:
             return super()._optimize(centers, normals, scales, views)
         # bare optimize (branch / streamed seeds) in block-major layout via
         # the SAME fused dispatch as extend, gates off per-lane (widths < 0)
@@ -300,8 +319,8 @@ class SpatialEngine(Engine):
 
     def _extend_compute(self, centers, normals, scales, views, parent_c,
                         widths):
-        if self.tree is None:
-            # seeding runs before the tree exists: flat chunked batches
+        if self._btree() is None:
+            # degenerate: no partition cube at all (pointless model)
             return super()._extend_compute(centers, normals, scales, views,
                                            parent_c, widths)
         blocks = self.block_of_points(centers)

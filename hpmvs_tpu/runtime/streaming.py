@@ -54,13 +54,36 @@ def merge_models(base: Optional[nvm_io.NvmModel],
 
 
 class StreamingEngine:
-    """Incremental wrapper around the wavefront Engine."""
+    """Incremental wrapper around the wavefront Engine.
 
-    def __init__(self, opt: Options):
+    Composes with every flagship engine mode (the internet-scale config
+    needs all of them at once, BASELINE.json): pass `mesh` for multi-chip
+    sharding, `spatial=True` for Morton-block ownership + halo migration,
+    `image_subsets=True` for per-shard image slabs. Scene rebuilds on chunk
+    arrival go through Engine.refresh_host_caches, which also invalidates
+    the spatial engine's subset slabs/closures; a reroot changes the root
+    cube key, so slabs rebuild automatically on the next dispatch."""
+
+    def __init__(self, opt: Options, mesh=None, spatial: bool = False,
+                 image_subsets: bool = False):
         self.opt = opt
+        self.mesh = mesh
+        self.spatial = spatial
+        self.image_subsets = image_subsets
+        if spatial and mesh is None:
+            raise ValueError("spatial streaming requires a device mesh")
         self.model: Optional[nvm_io.NvmModel] = None
         self.images: Optional[List[np.ndarray]] = None
         self.engine: Optional[Engine] = None
+
+    def _make_engine(self) -> Engine:
+        if self.spatial:
+            from hpmvs_tpu.runtime.spatial import SpatialEngine
+            return SpatialEngine(self.model, self.opt, images=self.images,
+                                 mesh=self.mesh,
+                                 image_subsets=self.image_subsets)
+        return Engine(self.model, self.opt, images=self.images,
+                      mesh=self.mesh)
 
     def add_chunk(self, chunk: nvm_io.NvmModel, images=None) -> int:
         """Add cameras + points; returns the number of new seed patches."""
@@ -71,7 +94,7 @@ class StreamingEngine:
         self.model = merge_models(self.model, chunk)
 
         if first:
-            self.engine = Engine(self.model, self.opt, images=self.images)
+            self.engine = self._make_engine()
             return self.engine.seed()
         return self._extend(chunk)
 
@@ -84,7 +107,9 @@ class StreamingEngine:
 
         # rebuild the device scene over the grown camera set (images append,
         # so every existing (image, level) keeps its offsets)
-        eng.scene = scene_mod.build_scene(self.model, opt, images=self.images)
+        eng.scene = scene_mod.build_scene(
+            self.model, opt, images=self.images,
+            host_pack=getattr(eng, "_host_images", False))
         eng.refresh_host_caches()
         new_pack = depth_mod.build_depth_pack(
             np.asarray(eng.scene.ctx.imgs.width),

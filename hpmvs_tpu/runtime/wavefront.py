@@ -61,14 +61,17 @@ class Engine:
     buffers, host patch store + linear octree + priority queues."""
 
     def __init__(self, model, opt: Options, images=None,
-                 visdata_path: Optional[str] = None, mesh=None):
+                 visdata_path: Optional[str] = None, mesh=None,
+                 host_images: bool = False):
         self.opt = opt
         self.model = model
         self.mesh = mesh          # jax.sharding.Mesh -> sharded optimize
+        self._host_images = host_images
         self._sharded_gate_fn = None
         self._flush_fn = None
         self.scene = scene_mod.build_scene(model, opt, images=images,
-                                           visdata_path=visdata_path)
+                                           visdata_path=visdata_path,
+                                           host_pack=host_images)
         self.pack = depth_mod.build_depth_pack(
             self.scene.width_np, self.scene.height_np, opt.DEPTH_SUBSAMPLE)
         self.refresh_host_caches()
@@ -430,30 +433,6 @@ class Engine:
         return (jnp.zeros((b, 3), jnp.float32), jnp.zeros((b,), jnp.float32),
                 jnp.full((b, self.opt.MAX_VIEWS), -1, jnp.int32),
                 jnp.zeros((b,), jnp.int32))
-
-    def _geom_gates(self, centers, normals, scales, views):
-        """Batched depthTests / viewBlockTest / pixelFreeTests for extend
-        gating (CellProcessor.cpp:134-142)."""
-        self._flush_depths()
-        n = centers.shape[0]
-        b = _bucket(n)
-
-        def pad(a, fill=0.0):
-            out = np.full((b,) + a.shape[1:], fill, a.dtype)
-            out[:n] = a
-            return out
-
-        ctx = self.scene.ctx
-        cc = jnp.asarray(pad(centers))
-        nn = jnp.asarray(pad(normals))
-        ss = jnp.asarray(pad(scales))
-        vv = jnp.asarray(pad(views, -1))
-        m = self.opt.DEPTH_TEST_FACTOR
-        import jax
-        dt, vb, pf = jax.device_get(depth_mod.geom_gates(
-            self.pack, ctx.cams, ctx.imgs, self.opt, cc, nn, ss, vv, m,
-            self.scene.n_cameras))
-        return dt[:n], vb[:n], pf[:n]
 
     @staticmethod
     def _tangent_axes(normals: np.ndarray, cam_x: np.ndarray):

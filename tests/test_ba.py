@@ -7,10 +7,10 @@ from hpmvs_tpu.parallel import mesh as pmesh
 from hpmvs_tpu.testing import make_plane_scene, _quatR
 
 
-def _perturb(model, rng, rot=0.004, trans=0.01, pts=0.01):
+def _perturb(model, rng, rot=0.004, trans=0.01, pts=0.01, keep=1):
     import copy
     out = copy.deepcopy(model)
-    for cam in out.cameras[1:]:  # keep camera 0 as the gauge anchor
+    for cam in out.cameras[keep:]:  # keep gauge-anchor cameras untouched
         w = rng.normal(0, rot, 3)
         th = np.linalg.norm(w) + 1e-12
         K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
@@ -90,3 +90,62 @@ def test_apply_to_model_roundtrip(ba_setup):
     _, _, hist2 = ba.ba_solve(prob2, n_cams, refined.n_points, iters=1,
                               cg_iters=5)
     assert float(np.asarray(hist2)[0]) < 1.5 * float(np.asarray(hist)[-1]) + 0.1
+
+
+@pytest.mark.slow
+def test_dense_ba_recovers_cameras_and_patches(plane_scene, tmp_path):
+    """Cameras+PATCHES BA (north star; no reference referent): densify with
+    true cameras, record the patch observations, perturb every camera but
+    the gauge anchor, re-solve with parallel.ba.apply_dense_ba -> cameras
+    recover, reprojection RMS collapses, patch quality survives."""
+    import dataclasses
+    from hpmvs_tpu.config import Options
+    from hpmvs_tpu.runtime import pipeline
+
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAXLEVEL=4,
+                              COVIS_MIN_POINTS=10, MAX_TREE_LEVEL=6,
+                              OUTFOLDER=str(tmp_path))
+    eng = pipeline.run(plane_scene.model, opt, images=plane_scene.images,
+                       mesh=None)
+    assert eng.n_alive() > 200
+    p = eng.patches
+    pids = np.nonzero(p.alive[:p.n])[0]
+    true_model = eng.model
+    true_centers = np.asarray([c.c for c in true_model.cameras])
+
+    # observations recorded under the TRUE cameras (creation time)
+    prob_true = ba.build_dense_problem(true_model, p.center[pids],
+                                       p.views[pids])
+
+    # cameras drift (streaming SfM updates); reprojection-only BA has a
+    # 7-DoF similarity gauge, so TWO anchor cameras stay true (matching
+    # apply_dense_ba's fix_count=2 -- one anchor leaves global scale free
+    # and the solution drifts along a scale-about-the-anchor direction)
+    rng = np.random.default_rng(5)
+    pert_model = _perturb(true_model, rng, rot=0.004, trans=0.01, pts=0.0,
+                          keep=2)
+    eng.model = pert_model
+    prob = ba.build_dense_problem(pert_model, p.center[pids],
+                                  p.views[pids])._replace(
+        m_uv=prob_true.m_uv)   # perturbed init, true observations
+
+    pre_err = np.linalg.norm(
+        np.asarray([c.c for c in pert_model.cameras]) - true_centers, axis=1)
+    z0 = np.abs(p.center[pids][:, 2] - plane_scene.plane_z)
+    hist = ba.apply_dense_ba(eng, problem=prob)
+    hist = np.asarray(hist)
+
+    # reprojection RMS collapses (>5x)
+    assert hist[-1] < hist[0] / 5.0, hist
+    # cameras recover: median center error shrinks >= 3x
+    post_err = np.linalg.norm(
+        np.asarray([c.c for c in eng.model.cameras]) - true_centers, axis=1)
+    assert np.median(post_err[2:]) < np.median(pre_err[2:]) / 3.0, (
+        pre_err, post_err)
+    # patch quality survives the joint re-solve
+    z1 = np.abs(eng.patches.center[pids][:, 2] - plane_scene.plane_z)
+    assert np.sqrt((z1 ** 2).mean()) < max(np.sqrt((z0 ** 2).mean()) * 1.3,
+                                           0.01)
+    # depth buffers were replayed under the new geometry
+    d = np.asarray(eng.pack.depth)
+    assert (d < 999.0).any()
