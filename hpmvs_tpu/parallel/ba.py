@@ -480,14 +480,27 @@ def apply_dense_ba(engine, iters: int = 8, cg_iters: int = 40,
     import jax
     p = engine.patches
     pids = np.nonzero(p.alive[:p.n])[0]
-    if len(pids) == 0:
+    owned = hasattr(engine, "n_alive_local")   # per-process store
+    if owned:
+        # solve the GLOBAL problem identically on every process (patch
+        # gather via the engine's padded allgather), fold back the local
+        # segment; the solve itself shards by patch over the global mesh
+        centers, _, _, _, views, _ = engine.alive_arrays()
+        local_n = len(pids)
+        from hpmvs_tpu.runtime.owned import _allgather
+        ns = _allgather(np.asarray([local_n], np.int64))[:, 0]
+        my_off = int(ns[:engine.pid].sum())
+    else:
+        if len(pids) == 0:
+            return None
+        centers = p.center[pids]
+        views = p.views[pids]
+    if len(centers) == 0:
         return None
-    centers = p.center[pids]
-    views = p.views[pids]
     if problem is None:
         problem = build_dense_problem(engine.model, centers, views)
     n_cams = len(engine.model.cameras)
-    n_pts = len(pids)
+    n_pts = len(centers)
     if engine.mesh is not None:
         prob = shard_problem(problem, engine.mesh.devices.size)
         cam, pts, hist = ba_solve_sharded(engine.mesh, prob, n_cams, n_pts,
@@ -510,7 +523,10 @@ def apply_dense_ba(engine, iters: int = 8, cg_iters: int = 40,
                                  engine.opt.MAXLEVEL)
     engine.scene = engine.scene._replace(
         ctx=engine.scene.ctx._replace(cams=cams))
-    engine.patches.center[pids] = pts
+    if owned:
+        engine.patches.center[pids] = pts[my_off:my_off + local_n]
+    else:
+        engine.patches.center[pids] = pts
     engine.refresh_host_caches()
     engine._pend = []
     fresh = depth_mod.build_depth_pack(engine.scene.width_np,

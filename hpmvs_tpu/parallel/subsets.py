@@ -51,7 +51,8 @@ class BlockImagePack(NamedTuple):
 
 def assign_images_to_blocks(cams, img_w0, img_h0, root_center: np.ndarray,
                             root_width: float, n_blocks: int,
-                            block_level: int) -> np.ndarray:
+                            block_level: int, near: np.ndarray = None,
+                            far: np.ndarray = None) -> np.ndarray:
     """(n_blocks, ncam) bool: camera c's frustum intersects block b.
 
     Blocks are the contiguous Morton ranges of runtime/spatial.py
@@ -59,7 +60,12 @@ def assign_images_to_blocks(cams, img_w0, img_h0, root_center: np.ndarray,
     cubes. Test: project the 8 corners of each octant cube with the
     level-0 P; the camera sees the cube if the corner hull's bbox meets
     the image rect, conservatively unbounded when corners straddle the
-    camera plane. Cameras behind every corner are excluded."""
+    camera plane. Cameras behind every corner are excluded.
+
+    near/far: optional per-camera depth bounds (from the camera's SfM
+    measurement depth range) truncating the otherwise infinite pyramid --
+    without them, every block BEYOND the observed surface still intersects
+    the frustum and spatially-distributed captures save no HBM."""
     P0 = np.asarray(cams.P)[:, 0]                      # (ncam, 3, 4)
     ncam = P0.shape[0]
     L = block_level
@@ -96,22 +102,69 @@ def assign_images_to_blocks(cams, img_w0, img_h0, root_center: np.ndarray,
     w = np.asarray(img_w0, np.float64)[:, None]
     h = np.asarray(img_h0, np.float64)[:, None]
     sees = any_front & (xmax >= 0) & (xmin < w) & (ymax >= 0) & (ymin < h)
+    if near is not None and far is not None:
+        zmin = np.where(front, z, np.inf).min(-1)      # (ncam, ncell)
+        zmax = np.where(front, z, -np.inf).max(-1)
+        bounded = np.isfinite(np.asarray(near)) & np.isfinite(np.asarray(far))
+        depth_ok = ((zmax >= np.asarray(near)[:, None])
+                    & (zmin <= np.asarray(far)[:, None]))
+        sees &= depth_ok | ~bounded[:, None]
     mask = np.zeros((n_blocks, ncam), bool)
     for b in range(n_blocks):
         mask[b] = sees[:, blk == b].any(1)
     return mask
 
 
-def build_block_packs(imgs: ImagePack, mask: np.ndarray) -> BlockImagePack:
-    """Slice the global packed pyramid buffer into per-block slabs."""
+def camera_depth_bounds(cams, model, lo: float = 0.5, hi: float = 1.8):
+    """Per-camera frustum depth bounds from the SfM measurement depths:
+    [lo*min_depth, hi*max_depth]. Cameras with no measurements stay
+    unbounded (inf markers). The working set of a camera is where its
+    observed structure lives -- reconstruction densifies around the sparse
+    points, so a generous margin around their depth range bounds it."""
+    ncam = len(model.cameras)
+    near = np.full(ncam, np.inf)
+    far = np.full(ncam, -np.inf)
+    if model.n_points == 0:
+        return near, far
+    P0 = np.asarray(cams.P)[:, 0]                     # (ncam, 3, 4)
+    pt_idx = np.repeat(np.arange(model.n_points),
+                       np.diff(model.meas_start))
+    ci = np.asarray(model.meas_img)
+    pts = np.asarray(model.points_xyz)[pt_idx]        # (M, 3)
+    row2 = P0[ci, 2]                                  # (M, 4)
+    z = (row2[:, :3] * pts).sum(1) + row2[:, 3]
+    ok = z > 0
+    np.minimum.at(near, ci[ok], z[ok])
+    np.maximum.at(far, ci[ok], z[ok])
+    with np.errstate(invalid="ignore"):
+        near = near * lo
+        far = far * hi
+    far[~np.isfinite(far)] = -np.inf
+    return near, far
+
+
+def slab_rows(heights: np.ndarray, mask: np.ndarray) -> int:
+    """Rows of the largest per-block slab for a given assignment mask."""
+    rows_of = np.asarray(heights).sum(1)
+    return max(int(max((rows_of * mask[b]).sum()
+                       for b in range(mask.shape[0]))), 1)
+
+
+def build_block_packs(imgs: ImagePack, mask: np.ndarray,
+                      rows_b: int = None) -> BlockImagePack:
+    """Slice the global packed pyramid buffer into per-block slabs.
+
+    rows_b: slab height override -- owned multi-host passes the global max
+    (a process cannot know remote shards' dynamic unions, only its own)."""
     n_blocks, ncam = mask.shape
     nlevel = imgs.row0.shape[1]
     g_row0 = np.asarray(imgs.row0)
     g_w = np.asarray(imgs.width)
     g_h = np.asarray(imgs.height)
     rows_of = g_h.sum(1)                                # rows per camera
-    rows_b = int(max((rows_of * mask[b]).sum() for b in range(n_blocks)))
-    rows_b = max(rows_b, 1)
+    if rows_b is None:
+        rows_b = slab_rows(g_h, mask)
+    rows_b = max(int(rows_b), 1)
     tex = np.zeros((n_blocks, rows_b) + imgs.tex.shape[1:], imgs.tex.dtype)
     texb = np.zeros((n_blocks, rows_b) + imgs.texb.shape[1:],
                     imgs.texb.dtype)

@@ -96,8 +96,17 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     if spatial:
         if mesh is None:
             raise ValueError("spatial=True requires a device mesh")
-        from hpmvs_tpu.runtime.spatial import SpatialEngine
-        cls = SpatialEngine
+        import jax
+        if jax.process_count() > 1:
+            # per-process scheduler ownership: host state partitioned by
+            # Morton range, patch records cross only in the halo payload
+            # (runtime/owned.py; the reference's per-processor subtree +
+            # border-queue structure, CellProcessor.h:60-68)
+            from hpmvs_tpu.runtime.owned import OwnedSpatialEngine
+            cls = OwnedSpatialEngine
+        else:
+            from hpmvs_tpu.runtime.spatial import SpatialEngine
+            cls = SpatialEngine
         kw["image_subsets"] = image_subsets
     engine = cls(model, opt, images=images,
                  visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"),

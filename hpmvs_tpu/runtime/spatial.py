@@ -112,6 +112,49 @@ class SpatialEngine(Engine):
     # ------------------------------------------------------------------
     # per-block image subsets
     # ------------------------------------------------------------------
+    def _occupied_octants(self) -> np.ndarray:
+        """(8^L,) bool: level-L octants occupied by cells (or SfM points
+        pre-tree), dilated by one octant in every direction -- extends can
+        step one cell width beyond the occupied frontier. Cameras of
+        unoccupied blocks never serve a resident patch, so they are dropped
+        from the slabs (the saving that makes subsets worthwhile on
+        spatially extended captures)."""
+        from hpmvs_tpu.core.octree import morton_encode
+        L = self.block_level
+        g = 1 << L
+        t = self._btree()
+        if self.tree is not None and self.tree.n:
+            cids = np.nonzero(self.tree.alive[:self.tree.n])[0]
+            pts, _ = self.tree.cell_center_width(cids) if len(cids) else \
+                (np.zeros((0, 3)), None)
+        else:
+            pts = np.asarray(self.model.points_xyz)
+        occ3 = np.zeros((g, g, g), bool)
+        if len(pts):
+            lo = np.asarray(t.center) - t.width / 2.0
+            ijk = np.clip(((pts - lo) / (t.width / g)).astype(np.int64),
+                          0, g - 1)
+            occ3[ijk[:, 0], ijk[:, 1], ijk[:, 2]] = True
+            # dilate one octant: successive non-wrapping axis dilations
+            # compose to the full 3x3x3 box
+            for ax in range(3):
+                d = occ3.copy()
+                fwd = [slice(None)] * 3
+                bwd = [slice(None)] * 3
+                fwd[ax] = slice(1, None)
+                bwd[ax] = slice(None, -1)
+                d[tuple(fwd)] |= occ3[tuple(bwd)]
+                d[tuple(bwd)] |= occ3[tuple(fwd)]
+                occ3 = d
+        idx = np.arange(g)
+        ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
+        keys = morton_encode(ii.ravel().astype(np.uint64),
+                             jj.ravel().astype(np.uint64),
+                             kk.ravel().astype(np.uint64))
+        out = np.zeros(8 ** L, bool)
+        out[keys.astype(np.int64)] = occ3.ravel()
+        return out
+
     def _btree(self):
         """The partition cube: the real octree once seeded, else the
         provisional SfM-point cube (block-major seeding)."""
@@ -122,23 +165,36 @@ class SpatialEngine(Engine):
         image slabs -- the union of the cameras seeing each shard's assigned
         blocks -- and commit them to the mesh, sharded on the shard dim."""
         t = self._btree()
-        key = (tuple(t.center), t.width, self.block_shard.tobytes())
+        occ_oct = self._occupied_octants()
+        key = (tuple(t.center), t.width, self.block_shard.tobytes(),
+               occ_oct.tobytes())
         if self._bpack_dev is not None and self._bpack_key == key:
             return
         from hpmvs_tpu.parallel import subsets
         imgs = self.scene.ctx.imgs
         w0 = np.asarray(imgs.width)[:, 0]
         h0 = np.asarray(imgs.height)[:, 0]
+        near, far = subsets.camera_depth_bounds(self.scene.ctx.cams,
+                                                self.model)
         bmask = subsets.assign_images_to_blocks(
             self.scene.ctx.cams, w0, h0, np.asarray(t.center),
-            t.width, self.n_blocks, self.block_level)
+            t.width, self.n_blocks, self.block_level, near=near, far=far)
+        # blocks with no occupied octant carry no cameras at all
+        L3 = 3 * self.block_level
+        oct_block = (np.arange(8 ** self.block_level, dtype=np.int64)
+                     * self.n_blocks) >> L3
+        occ_block = np.zeros(self.n_blocks, bool)
+        np.logical_or.at(occ_block, oct_block, occ_oct)
+        bmask &= occ_block[:, None]
         # shard slab = union over its assigned blocks (main.cpp:50-96: a
         # thread's working set is the subtrees it currently processes)
         mask = np.zeros((self.n_shards, bmask.shape[1]), bool)
         for b in range(self.n_blocks):
             mask[self.block_shard[b]] |= bmask[b]
         host = subsets.build_block_packs(
-            subsets.ImagePack(*(np.asarray(a) for a in imgs)), mask)
+            subsets.ImagePack(*(np.asarray(a) for a in imgs)), mask,
+            rows_b=self._agree_dim(subsets.slab_rows(
+                np.asarray(imgs.height), mask)))
         self._bpack_dev = subsets.device_put_block_pack(self.mesh, host)
         self._bpack_key = key
         self._subset_gate_fn = None
@@ -183,6 +239,27 @@ class SpatialEngine(Engine):
     # is exactly how the reference gets its balance (~100 subtrees over ~8
     # threads with schedule(dynamic), main.cpp:50-96,150).
     # ------------------------------------------------------------------
+    def _agree_shard_counts(self, counts: np.ndarray) -> np.ndarray:
+        """Per-shard lane counts for shape agreement (identity here; the
+        owned engine sums across processes so every process compiles and
+        dispatches identical global shapes)."""
+        return counts
+
+    def _agree_dim(self, n: int) -> int:
+        """Agree a padded dimension across processes (identity: max of 1)."""
+        return int(n)
+
+    def _shard_local_mask(self) -> np.ndarray:
+        """(n_shards,) bool: which shards this process reads arrivals from
+        (all of them here; owned engine: its local devices only)."""
+        return np.ones(self.n_shards, bool)
+
+    def _agree_pair(self, pair: np.ndarray) -> np.ndarray:
+        """Per-(src, dst) halo pair counts (identity; owned engine sums
+        across processes -- each src shard is owned by one process, so the
+        sum is the exact union)."""
+        return pair
+
     @staticmethod
     def _lpt_assign(counts: np.ndarray, n_shards: int) -> np.ndarray:
         """Largest-first greedy bin packing of per-block work onto shards."""
@@ -194,6 +271,14 @@ class SpatialEngine(Engine):
             assign[b] = s
             load[s] += int(counts[b])
         return assign
+
+    @staticmethod
+    def _quantile_assign(counts: np.ndarray, n_shards: int) -> np.ndarray:
+        """Contiguous Morton-order segments with ~equal work."""
+        cum = np.cumsum(counts)
+        total = max(int(cum[-1]), 1)
+        return np.minimum((cum - counts / 2.0) * n_shards // total,
+                          n_shards - 1).astype(np.int64)
 
     def _update_assignment(self, counts: np.ndarray):
         """Re-bin blocks onto shards for this round's work distribution.
@@ -212,7 +297,14 @@ class SpatialEngine(Engine):
             bal = total / max(self.n_shards * cur.max(), 1)
             if bal >= self.opt.REBALANCE_BELOW:
                 return
-        new = self._lpt_assign(counts, self.n_shards)
+        if self.image_subsets:
+            # contiguous quantile cuts along the Morton order: balances the
+            # load while keeping each shard's blocks spatially coherent --
+            # an LPT scatter would union far-apart blocks' cameras and
+            # erase the slab saving
+            new = self._quantile_assign(counts, self.n_shards)
+        else:
+            new = self._lpt_assign(counts, self.n_shards)
         if np.array_equal(new, self.block_shard):
             return
         self.block_shard = new
@@ -263,13 +355,17 @@ class SpatialEngine(Engine):
         self._update_assignment(bcounts)
         shards = self.block_shard[blocks]
         order = np.argsort(shards, kind="stable")
-        counts = np.bincount(shards, minlength=self.n_shards)
-        maxc = int(counts.max()) if N else 1
+        counts_l = np.bincount(shards, minlength=self.n_shards)
+        # shapes (lseg/rounds) come from the GLOBAL per-shard counts so all
+        # processes dispatch identically; the local packing offsets use the
+        # LOCAL counts (each shard's lanes are filled only by its owner)
+        counts_g = self._agree_shard_counts(counts_l)
+        maxc = int(counts_g.max()) if counts_g.sum() else 1
         cap = max(self.opt.BATCH // self.n_shards, 16)
         lseg = min(_bucket(max(maxc, 1), lo=16), cap)
         rounds = -(-maxc // lseg)
         starts = np.zeros(self.n_shards + 1, np.int64)
-        starts[1:] = np.cumsum(counts)
+        starts[1:] = np.cumsum(counts_l)
         within = np.arange(N) - starts[shards[order]]
         rnd = within // lseg
         pos = shards[order] * lseg + (within % lseg)
@@ -303,8 +399,11 @@ class SpatialEngine(Engine):
         return tuple(outs)
 
     def _optimize(self, centers, normals, scales, views):
-        if centers.shape[0] == 0 or self._btree() is None:
+        if self._btree() is None:
+            # degenerate: no partition cube at all (pointless model)
             return super()._optimize(centers, normals, scales, views)
+        # N may be 0 locally while other processes have work: _blockwise
+        # still participates with agreed global shapes
         # bare optimize (branch / streamed seeds) in block-major layout via
         # the SAME fused dispatch as extend, gates off per-lane (widths < 0)
         blocks = self.block_of_points(centers)
@@ -354,7 +453,7 @@ class SpatialEngine(Engine):
         local = ok & ~remote
         n = self._insert_new_patches(oc, on, os_, ov, local, col, lv_t,
                                      prio_red)
-        if remote.any():
+        if self._count_global(int(remote.sum())):
             n += self._halo_migrate(oc, on, os_, ov, col, lv_t, prio_red,
                                     remote, src_sh, dst_sh)
         return n
@@ -395,15 +494,24 @@ class SpatialEngine(Engine):
         payload_all[:, self._HDR:] = ov[idx_all].astype(np.float32)
 
         koff = (dst_sh[idx_all] - src_sh[idx_all]) % self.n_shards
+        # per-(src, dst) pair counts, agreed globally: the hop list and
+        # each hop's slots must be identical on every process
+        pair_l = np.zeros((self.n_shards, self.n_shards), np.int64)
+        np.add.at(pair_l, (src_sh[idx_all], dst_sh[idx_all]), 1)
+        pair = self._agree_pair(pair_l)
         devs = []
         t0 = time.time()
-        for k in np.unique(koff):
+        src_ids = np.arange(self.n_shards)
+        for k in range(1, self.n_shards):
+            diag = pair[src_ids, (src_ids + k) % self.n_shards]
+            if diag.max() == 0:
+                continue
+            # exact slots: a ppermute graph is tiny, so per-size compiles
+            # are cheap and the buffer carries no ladder padding
+            slots = int(diag.max())
             rows = np.nonzero(koff == k)[0]
             sb = src_sh[idx_all[rows]]
             counts = np.bincount(sb, minlength=self.n_shards)
-            # exact slots: a ppermute graph is tiny, so per-size compiles
-            # are cheap and the buffer carries no ladder padding
-            slots = max(int(counts.max()), 1)
             starts = np.zeros(self.n_shards + 1, np.int64)
             starts[1:] = np.cumsum(counts)
             order = np.argsort(sb, kind="stable")
@@ -412,10 +520,10 @@ class SpatialEngine(Engine):
             val = np.zeros((self.n_shards * slots,), bool)
             pay[lane] = payload_all[rows[order]]
             val[lane] = True
-            devs.append(self._halo_fn(int(k), slots, D)(
-                self._dev_batch(pay), self._dev_batch(val)))
+            devs.append((slots, self._halo_fn(int(k), slots, D)(
+                self._dev_batch(pay), self._dev_batch(val))))
             self.stats["halo_bytes_wire"] += self.n_shards * slots * (D * 4 + 1)
-        got = self._fetch(devs)
+        got = self._fetch([d for _, d in devs])
         self.stats["t_device"] += time.time() - t0
         self.stats["halo_rounds"] += 1
         self.stats["halo_hops"] += len(devs)
@@ -425,7 +533,12 @@ class SpatialEngine(Engine):
         self.stats["halo_bytes_logical"] += len(idx_all) * D * 4
 
         recv = np.concatenate([np.asarray(g[0]) for g in got])
-        valid = np.concatenate([np.asarray(g[1]) for g in got])
+        # owned mode: only lanes on this process's shards are real arrivals
+        # (remote shards never materialize host-side); shard = lane // slots
+        lmask = self._shard_local_mask()
+        valid = np.concatenate(
+            [np.asarray(g[1]) & np.repeat(lmask, sl)
+             for (sl, _), g in zip(devs, got)])
         a = np.nonzero(valid)[0]
         if len(a) == 0:
             return 0

@@ -136,6 +136,39 @@ class Engine:
         return jax.make_array_from_callback(arr.shape, sh,
                                             lambda idx: arr[idx])
 
+    # -- multi-process coordination hooks (identity here; the owned
+    # -- multi-host engine overrides them, runtime/owned.py) -------------
+    def _count_global(self, n: int) -> int:
+        """Sum a small host counter across processes (identity here)."""
+        return int(n)
+
+    def _agree_pmin(self, prio: int):
+        """Next queue priority to drain, or None (global min when owned)."""
+        if not self.queue:
+            return None
+        pmin = min(self.queue)
+        return None if pmin > prio else pmin
+
+    def _filter_owned(self, keep: np.ndarray, pts: np.ndarray) -> np.ndarray:
+        """Mask a seed keep-vector down to locally-owned lanes (identity)."""
+        return keep
+
+    def _agree_bbox(self, pts: np.ndarray):
+        """Bounding box of the GLOBAL seed cloud (local = identity)."""
+        return pts.min(0), pts.max(0)
+
+    def _remote_neighbor_counts(self, pts: np.ndarray) -> np.ndarray:
+        """(N,) 0/1: neighbor-probe positions owned by another process
+        (always 0 in single-process engines)."""
+        return np.zeros(len(pts), np.int64)
+
+    def _gather_pend(self, c, s, v, ph):
+        """Merge deferred depth windows across processes (identity): the
+        z-buffer is the one globally-shared mutable state, exactly like the
+        reference's shared depth pyramid across all processors
+        (Scene.h:75-76)."""
+        return c, s, v, ph
+
     def refresh_host_caches(self):
         """Host copies of the camera SoA (avoid device transfers in the
         scheduler hot loop). Re-call after the scene grows (streaming)."""
@@ -273,6 +306,10 @@ class Engine:
 
     def _pend_arrays(self):
         """Concatenate the deferred window into (c, s, v, phase)."""
+        if not self._pend:
+            K = self.opt.MAX_VIEWS
+            return (np.zeros((0, 3), np.float32), np.zeros((0,), np.float32),
+                    np.full((0, K), -1, np.int32), np.zeros((0,), np.int32))
         c = np.concatenate([e[0] for e in self._pend])
         s = np.concatenate([e[1] for e in self._pend])
         v = np.concatenate([e[2] for e in self._pend])
@@ -290,9 +327,9 @@ class Engine:
     def _flush_depths(self):
         """Apply the deferred depth window with ONE standalone dispatch
         (external pack readers, checkpointing, overflow)."""
-        if not self._pend:
+        if self._count_global(len(self._pend)) == 0:
             return
-        c, s, v, ph = self._pend_arrays()
+        c, s, v, ph = self._gather_pend(*self._pend_arrays())
         self._pend = []
         t0 = time.time()
         b = _bucket(len(s), lo=512)
@@ -327,15 +364,21 @@ class Engine:
         cb[:n], sb[:n], vb[:n], phb[:n] = c, s, v, ph
         return cb, sb, vb, phb
 
+    def _n_proc(self) -> int:
+        return 1
+
     def _take_pending(self):
         """Pending depth updates as padded (c, s, v, phase) arrays for the
-        fused extend dispatch, or None when nothing is pending."""
-        if not self._pend:
+        fused extend dispatch, or None when nothing is pending. Owned
+        multi-host: windows from ALL processes merge here (the z-buffer is
+        globally shared state), so participation must be global."""
+        if self._count_global(len(self._pend)) == 0:
             return None
-        if sum(len(e[1]) for e in self._pend) > 4 * self.opt.BATCH:
+        if self._count_global(sum(len(e[1]) for e in self._pend)) \
+                > 4 * self.opt.BATCH * max(self._n_proc(), 1):
             self._flush_depths()  # bound the fused shape (standalone)
             return None
-        c, s, v, ph = self._pend_arrays()
+        c, s, v, ph = self._gather_pend(*self._pend_arrays())
         self._pend = []
         # coarse bucket ladder: every distinct (batch, pend) shape combo is
         # a separate XLA executable (compile + per-process cache load)
@@ -450,23 +493,33 @@ class Engine:
         opt = self.opt
         c, n, s, v, orig = scene_mod.make_seed_patches(self.model, self.scene,
                                                        opt)
-        if c.shape[0] == 0:
+        if self._count_global(c.shape[0]) == 0:
             self.tree = LinearOctree(np.zeros(3), 2.0)
             return 0
         t0 = time.time()
         out_c, out_n, out_s, out_v, ok, col, _ = self._optimize(c, n, s, v)
-        drift = np.linalg.norm(out_c - orig, axis=1) <= out_s * opt.SEED_DRIFT
+        with np.errstate(invalid="ignore"):
+            drift = (np.linalg.norm(out_c - orig, axis=1)
+                     <= out_s * opt.SEED_DRIFT)
         keep = ok & drift
+        # owned multi-host: every process dispatched the full seed batch
+        # but only reads its own shards (remote lanes zero-fill, so their
+        # ok is already False); ownership keys on the OPTIMIZED position --
+        # a seed whose optimize drifted across a process boundary is owned
+        # by neither computing process and is dropped (rare; extends refill)
+        self.stats["seed_ok"] = int(ok.sum())
+        self.stats["seed_drift_pass"] = int((ok & drift).sum())
+        keep = self._filter_owned(keep, out_c)
         log.info("created %d initPatches out of %d points (%.1fs)",
                  int(keep.sum()), self.model.n_points, time.time() - t0)
 
         c, n, s, v, col = (out_c[keep], out_n[keep], out_s[keep], out_v[keep],
                            col[keep])
-        if c.shape[0] == 0:
+        if self._count_global(c.shape[0]) == 0:
             self.tree = LinearOctree(np.zeros(3), 2.0)
             return 0
-        # bounding cube root (Scene.cpp:186-193)
-        mn, mx = c.min(0), c.max(0)
+        # bounding cube root (Scene.cpp:186-193); global across processes
+        mn, mx = self._agree_bbox(c)
         width = float(np.max(mx - mn))
         width = max(width, 1e-6)
         self.tree = LinearOctree((mn + mx) / 2.0, width,
@@ -479,7 +532,7 @@ class Engine:
         # patches down (doctree.h:378-394 split-with-buffer semantics)
         lv = self.tree.level_for_width(s)
         from hpmvs_tpu.core import native
-        if native.available():
+        if native.available() and len(c):
             lv, keys = native.seed_pushdown(c.astype(np.float64),
                                             self.tree.center, self.tree.width,
                                             self.tree.max_level, lv)
@@ -531,23 +584,12 @@ class Engine:
         (one OMP-parallel processQueue sweep in the reference,
         main.cpp:150-154)."""
         changed = False
-        while self.queue:
-            pmin = min(self.queue)
-            if pmin > prio:
+        while True:
+            pmin = self._agree_pmin(prio)
+            if pmin is None:
                 break
-            chunks = self.queue.pop(pmin)
-            if not chunks:
-                continue
-            cells = (np.concatenate(chunks) if len(chunks) > 1
-                     else np.asarray(chunks[0], np.int64))
-            # dedup keeping first occurrence + drop dead/empty cells (the
-            # reference dangles pointers here)
-            _, first = np.unique(cells, return_index=True)
-            cells = cells[np.sort(first)]
-            self._ensure_heads()
-            live = cells[self.tree.alive[cells]
-                         & (self.cell_head[cells] >= 0)]
-            if len(live) == 0:
+            live = self._pop_live(pmin)
+            if self._count_global(len(live)) == 0:
                 continue
             changed = True
             t0 = time.time()
@@ -555,6 +597,21 @@ class Engine:
             self.stats[f"t_phase{pmin % 10}"] += time.time() - t0
             self.stats["cells_processed"] += len(live)
         return changed
+
+    def _pop_live(self, pmin) -> np.ndarray:
+        """Pop + dedup the local queue entries at priority pmin (the owned
+        engine may hold none when another process set the global pmin)."""
+        chunks = self.queue.pop(int(pmin), [])
+        if not chunks:
+            return np.zeros((0,), np.int64)
+        cells = (np.concatenate(chunks) if len(chunks) > 1
+                 else np.asarray(chunks[0], np.int64))
+        # dedup keeping first occurrence + drop dead/empty cells (the
+        # reference dangles pointers here)
+        _, first = np.unique(cells, return_index=True)
+        cells = cells[np.sort(first)]
+        self._ensure_heads()
+        return cells[self.tree.alive[cells] & (self.cell_head[cells] >= 0)]
 
     def _process_cells(self, cids: np.ndarray, prio: int):
         opt = self.opt
@@ -570,8 +627,11 @@ class Engine:
         expanded = self.patches.expanded[first_pid]
         flat = self.patches.flatness[first_pid]
 
+        # extend/branch dispatch device collectives -> their participation
+        # must be agreed globally in owned multi-host mode (empty local
+        # batches still join); filter/regularize/remove are host-only
         ext = cids[~expanded]
-        if len(ext):
+        if self._count_global(len(ext)):
             self._extend_cells(ext)
         reg = cids[expanded & (flat < 0)]
         if len(reg):
@@ -580,7 +640,7 @@ class Engine:
         if len(rem):
             self._remove_cells(rem)
         bra = cids[expanded & (flat >= 0) & (flat <= opt.FLATNESS_REMOVE)]
-        if len(bra):
+        if self._count_global(len(bra)):
             self._branch_cells(bra)
 
     # -- filter (CellProcessor::filter, :43-82) -------------------------
@@ -660,7 +720,7 @@ class Engine:
         # (single-tree border semantics; the halo-exchange hook for sharding)
         todo = inside & ~occupied & ~finer
         self.stats["extend_candidates"] += int(todo.sum())
-        if not todo.any():
+        if self._count_global(int(todo.sum())) == 0:
             self._finish_extend(cids, pids, levels, prio_red)
             return
 
@@ -800,7 +860,14 @@ class Engine:
                   + oo[None, :, 1, None] * yax[:, None, :])
                * widths[:, None, None])
         B = len(cids)
-        owner = self.tree.containing_cell(pts.reshape(B * M, 3)).reshape(B, M)
+        flat_pts = pts.reshape(B * M, 3)
+        owner = self.tree.containing_cell(flat_pts).reshape(B, M)
+        # owned multi-host: neighbor positions in remote processes' blocks
+        # are invisible to the local tree; count them as present with zero
+        # plane error (leniency beats removing every process-border patch;
+        # the reference's shared tree sees all neighbors, and its unlocked
+        # reads tolerate similar imprecision, Scene.cpp:565)
+        rc = self._remote_neighbor_counts(flat_pts).reshape(B, M).sum(1)
 
         # vectorized: distinct neighbor cells per row (sorted-row dedup),
         # first-patch centers straight from the cell-head array
@@ -820,6 +887,7 @@ class Engine:
              & (srt[:, 1:] < np.iinfo(np.int64).max)], axis=1)
         n_neigh = distinct.sum(1)
 
+        n_neigh = n_neigh + rc
         pid_nb = np.where(distinct, first_pid[np.minimum(
             srt, len(uniq_cells) - 1)], -1)
         has_patch = pid_nb >= 0
@@ -828,7 +896,7 @@ class Engine:
             np.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
         e = np.einsum("bj,bmj->bm", n_unit, pb - centers[:, None, :])
         sq = np.where(has_patch, e * e, 0.0)
-        cnt = has_patch.sum(1)
+        cnt = has_patch.sum(1) + rc
         rms = np.sqrt(sq.sum(1) / np.maximum(cnt, 1)) / widths
 
         flat = np.where(n_neigh < 1, opt.FLATNESS_NO_NEIGH,
@@ -872,7 +940,7 @@ class Engine:
         exhausted = support < 1
         work = np.nonzero(~exhausted)[0]
         self.stats["exhausted"] += int(exhausted.sum())
-        if len(work) == 0:
+        if self._count_global(len(work)) == 0:
             return
 
         cam_x = self.cam_xaxis_np[np.maximum(views[work, 0], 0)]
@@ -899,7 +967,7 @@ class Engine:
 
         sel = np.nonzero(in_cell)[0]
         accepted = np.zeros(len(cand_c), bool)
-        if len(sel):
+        if self._count_global(len(sel)):
             c_in = cand_c[sel]
             n_in = normals[work][src[sel]]
             s_in = (widths[work][src[sel]] * opt.BRANCH_SCALE / 2.0

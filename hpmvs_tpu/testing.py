@@ -596,3 +596,105 @@ def scene_image_pack(scene: PlaneScene, n_levels: int):
     from hpmvs_tpu.image import pyramid as pyr
     pyramids = [pyr.build_pyramid(img, n_levels) for img in scene.images]
     return pyr.pack_pyramids(pyramids)
+
+
+def make_ring_plane_scene(
+    n_cams: int = 150,
+    imgsize: int = 128,
+    n_points: int = 600,
+    extent: float = 8.0,
+    cam_height: float = 3.5,
+    seed: int = 0,
+    roll: bool = True,
+) -> PlaneScene:
+    """Large-outdoor-shaped capture (BASELINE.json config 4): a big textured
+    ground plane observed by cameras on an outer ring plus an inner grid,
+    each looking almost straight down at its own neighborhood. Frusta are
+    spatially distributed -- a camera's footprint (~2*h*0.5*imgsize/f) is a
+    tiny fraction of the scene extent -- so per-block image subsets
+    genuinely exclude faraway cameras, unlike the compact arc scenes where
+    every camera sees everything."""
+    rng = np.random.default_rng(seed)
+    f = imgsize * 1.2
+    tex_size = 2048
+    tex = smooth_texture(rng, tex_size, cells=96)
+
+    def tex_at(x, y):
+        return _tex_bilinear(tex, tex_size, x / extent, y / extent)
+
+    # camera ground positions: 2/3 on a ring, 1/3 on an inner grid
+    n_ring = (2 * n_cams) // 3
+    n_grid = n_cams - n_ring
+    gpos = []
+    for i in range(n_ring):
+        a = 2.0 * np.pi * i / n_ring
+        r = 0.72 * extent
+        gpos.append((r * np.cos(a), r * np.sin(a)))
+    g = max(int(np.ceil(np.sqrt(n_grid))), 1)
+    for i in range(n_grid):
+        gx = (i % g + 0.5) / g * 2 - 1
+        gy = (i // g + 0.5) / g * 2 - 1
+        gpos.append((gx * 0.55 * extent, gy * 0.55 * extent))
+
+    cameras, images = [], []
+    for ci, (gx, gy) in enumerate(gpos):
+        eye = np.array([gx, gy, -cam_height])
+        # look at a slightly offset ground point (adds parallax baselines)
+        tgt = np.array([gx + 0.35 * np.cos(ci), gy + 0.35 * np.sin(ci), 0.0])
+        up = (np.cos(ci * 0.7), np.sin(ci * 0.7), 0.0) if roll \
+            else (1.0, 0.0, 0.0)
+        R = _lookat(eye, tgt, up=up)
+        q = _rot_to_quat(R)
+        uu, vv = np.meshgrid(np.arange(imgsize), np.arange(imgsize))
+        d_cam = np.stack([(uu - imgsize / 2.0) / f,
+                          (vv - imgsize / 2.0) / f,
+                          np.ones_like(uu, dtype=np.float64)], axis=-1)
+        d_world = d_cam @ R
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (0.0 - eye[2]) / d_world[..., 2]
+        px = eye[0] + t * d_world[..., 0]
+        py = eye[1] + t * d_world[..., 1]
+        img = np.clip(tex_at(px, py) + 0.5, 0, 255).astype(np.uint8)
+        bad = (np.abs(px) > extent) | (np.abs(py) > extent) | (t <= 0) \
+            | ~np.isfinite(t)
+        img[bad] = 8
+        cameras.append(nvm_io.NvmCamera(filename=f"ring{ci:03d}.png", f=f,
+                                        rq=q, c=eye.copy(), r=0.0))
+        images.append(img)
+
+    # SfM points near the camera ground tracks (where coverage exists)
+    pts = np.zeros((n_points, 3))
+    base = rng.integers(0, n_cams, n_points)
+    for ii in range(n_points):
+        gx, gy = gpos[base[ii]]
+        pts[ii, 0] = np.clip(gx + rng.normal(0, 0.5), -extent, extent)
+        pts[ii, 1] = np.clip(gy + rng.normal(0, 0.5), -extent, extent)
+    pts[:, 2] = rng.normal(0, 0.002, n_points)
+
+    rgb = np.full((n_points, 3), 128.0)
+    m_img, m_feat, m_xy = [], [], []
+    starts = np.zeros(n_points + 1, dtype=np.int64)
+    Rs = [_quatR(c.rq) for c in cameras]
+    for ii in range(n_points):
+        cnt = 0
+        for ci, cam in enumerate(cameras):
+            pc = Rs[ci] @ (pts[ii] - cam.c)
+            if pc[2] <= 0:
+                continue
+            u = f * pc[0] / pc[2] + imgsize / 2.0
+            v = f * pc[1] / pc[2] + imgsize / 2.0
+            if 6 <= u < imgsize - 6 and 6 <= v < imgsize - 6:
+                m_img.append(ci)
+                m_feat.append(ii)
+                m_xy.append((u - imgsize / 2.0, v - imgsize / 2.0))
+                cnt += 1
+        starts[ii + 1] = starts[ii] + cnt
+
+    model = nvm_io.NvmModel(
+        cameras=cameras, points_xyz=pts, points_rgb=rgb, meas_start=starts,
+        meas_img=np.asarray(m_img, dtype=np.int32),
+        meas_feat=np.asarray(m_feat, dtype=np.int32),
+        meas_xy=(np.asarray(m_xy, dtype=np.float64).reshape(-1, 2)
+                 if m_xy else np.zeros((0, 2))))
+    return PlaneScene(model=model, images=images, plane_z=0.0,
+                      extent=extent, f=f, imgsize=imgsize)

@@ -138,9 +138,47 @@ def main():
     if expected_alive >= 0:
         assert n_alive == expected_alive, (n_alive, expected_alive)
 
+    # 5) OWNED multi-host engine (runtime/owned.py): per-process scheduler
+    # state partitioned by Morton range; patch records cross processes only
+    # inside the halo payload; z-buffer updates gathered (the one shared
+    # structure, Scene.h:75-76). Each process must hold a REAL share of the
+    # patches (not a replica), and the merged total must match the
+    # replicated run statistically.
+    from hpmvs_tpu.runtime.owned import OwnedSpatialEngine
+    eng2 = OwnedSpatialEngine(ps.model, opt, images=ps.images, mesh=pm)
+    eng2.seed()
+    # starting priority must be the GLOBAL queue minimum (a process's local
+    # queue may be empty or start later)
+    start2 = eng2._agree_pmin(np.iinfo(np.int64).max - 1)
+    start2 = 0 if start2 is None else int(start2)
+    for prio in range(start2, start2 + 25):
+        eng2.process_priority_step(prio)
+        if not eng2.have_work():
+            break
+    nl = eng2.n_alive_local()
+    counts2 = np.asarray(multihost_utils.process_allgather(
+        np.asarray([nl], np.int64)))[:, 0]
+    total2 = int(counts2.sum())
+    # partitioned, not replicated: every process holds a nontrivial share
+    assert counts2.min() > 0, counts2
+    assert counts2.max() < total2, counts2
+    # ownership invariant: every local patch's block belongs to this process
+    pp = eng2.patches
+    live2 = np.nonzero(pp.alive[:pp.n])[0]
+    own = eng2.block_proc[eng2.block_of_points(pp.center[live2])]
+    assert (own == PID).all(), "foreign patches in local store"
+    # statistically identical to the replicated run (order/leniency
+    # divergence bounded)
+    assert abs(total2 - n_alive) <= max(0.15 * n_alive, 25), (total2, n_alive)
+    # the merged global cloud gathers identically on every process
+    cg = eng2.alive_arrays()[0]
+    assert len(cg) == total2
+
     print(f"MULTIHOST_OK pid={PID} accepted={int(ok.sum())} "
           f"depth_cells={int((depth < depth_mod.MAX_DEPTH).sum())} "
-          f"engine_alive={n_alive} migrated={eng.stats['migrated']}")
+          f"engine_alive={n_alive} migrated={eng.stats['migrated']} "
+          f"owned_local={nl} owned_total={total2} "
+          f"owned_collectives={eng2.stats['host_collectives']}")
 
 
 if __name__ == "__main__":

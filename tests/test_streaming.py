@@ -161,3 +161,62 @@ def test_streaming_reroots_outside_cube():
     assert c[:, 0].max() > x_max_before + 0.1
     err = np.abs(c[:, 2] - scene.plane_z)
     assert np.median(err) < 0.02
+
+
+def test_streaming_spatial_subsets_checkpoint_compose():
+    """The flagship features COMPOSED (internet-scale config,
+    BASELINE.json): streaming chunks with a reroot into an 8-device spatial
+    engine with per-shard image subsets, checkpointed mid-run with live
+    migration state, resumed, and finishing within tolerance of the
+    uninterrupted run (resume semantics: CellProcessor.cpp:422-455)."""
+    from hpmvs_tpu.parallel import mesh as pmesh
+    from hpmvs_tpu.runtime import checkpoint as ckpt
+    from hpmvs_tpu.runtime.spatial import SpatialEngine
+
+    scene = make_plane_scene(n_cams=7, imgsize=256, n_points=120, seed=5)
+    scene = dataclasses.replace(scene, model=_sort_points_by_x(scene.model))
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAX_VIEWS=8,
+                              COVIS_MIN_POINTS=10, MAX_TREE_LEVEL=7,
+                              PATCH_FINAL_MINLEVEL=4, LM_ITERS=8)
+    first, second = _split_model(scene, cam_split=4, pt_split=60)
+    mesh = pmesh.make_mesh(8)
+
+    def stream_to_mid():
+        se = StreamingEngine(opt, mesh=mesh, spatial=True,
+                             image_subsets=True)
+        assert se.add_chunk(first, images=scene.images[:4]) > 10
+        se.run_to(45)
+        assert se.add_chunk(second, images=scene.images[4:]) > 5
+        assert se.engine.stats["reroots"] >= 1        # cube actually grew
+        se.run_to(55)
+        return se
+
+    # uninterrupted run
+    se_a = stream_to_mid()
+    assert se_a.engine.stats["migrated"] > 0          # halo state exercised
+    assert se_a.engine.stats["subset_rebuilds"] >= 1  # slabs really built
+    eng_a = se_a.run_to(opt.max_prio - 1)
+
+    # interrupted run: checkpoint at the same midpoint, resume into a FRESH
+    # spatial engine over the merged model, finish
+    se_b = stream_to_mid()
+    path = "/tmp/compose_ckpt.npz"
+    ckpt.save_checkpoint(se_b.engine, path)
+    eng_c = SpatialEngine(se_b.model, opt, images=se_b.images, mesh=mesh,
+                          image_subsets=True)
+    ckpt.load_checkpoint(eng_c, path)
+    ckpt.requeue_from_tree(eng_c)
+    for p in range(opt.max_prio):
+        eng_c.process_priority_step(p)
+        if not eng_c.have_work():
+            break
+
+    n_a, n_c = eng_a.n_alive(), eng_c.n_alive()
+    assert abs(n_c - n_a) <= max(0.08 * n_a, 30), (n_a, n_c)
+    ca = eng_a.alive_arrays()[0]
+    cc = eng_c.alive_arrays()[0]
+    for c in (ca, cc):
+        err = np.abs(c[:, 2] - scene.plane_z)
+        assert np.median(err) < 0.02
+    # both reached past the original cube (reroot survived the checkpoint)
+    assert cc[:, 0].max() > 0.1
