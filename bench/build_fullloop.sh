@@ -9,7 +9,12 @@ BUILD=build
 mkdir -p $BUILD
 
 if [ ! -f $BUILD/config.h ]; then
-  ./build_baseline.sh 1 > /dev/null   # creates config.h + nlopt objects
+  # create config.h + nlopt objects WITHOUT clobbering cpu_baseline.json
+  # (build_baseline.sh tees its measurement there; a B=1 run would poison
+  # bench.py's vs_baseline denominator)
+  saved=$(mktemp); cp cpu_baseline.json "$saved" 2>/dev/null || true
+  ./build_baseline.sh 1 > /dev/null
+  cp "$saved" cpu_baseline.json 2>/dev/null || true
 fi
 
 INC="-I$BUILD -I$NLOPT_DIR/api -I$NLOPT_DIR/util -I$NLOPT_DIR/bobyqa"

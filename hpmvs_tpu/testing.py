@@ -616,8 +616,11 @@ def make_ring_plane_scene(
     every camera sees everything."""
     rng = np.random.default_rng(seed)
     f = imgsize * 1.2
+    # texture detail must exist at the finest patch footprint (~0.02 world
+    # units): a cells=96 texture is locally a featureless gradient at
+    # level 0 and the NCC chain rejects ~98% of extend candidates there
     tex_size = 2048
-    tex = smooth_texture(rng, tex_size, cells=96)
+    tex = smooth_texture(rng, tex_size, cells=640)
 
     def tex_at(x, y):
         return _tex_bilinear(tex, tex_size, x / extent, y / extent)

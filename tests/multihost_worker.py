@@ -35,6 +35,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hpmvs_tpu.config import Options  # noqa: E402
+from hpmvs_tpu.runtime import pipeline as _pl  # noqa: E402
+
+_pl.enable_compile_cache()   # compiles dominate this worker's runtime
 from hpmvs_tpu.core import depth as depth_mod  # noqa: E402
 from hpmvs_tpu.core import scene as scene_mod  # noqa: E402
 from hpmvs_tpu.ops import optimizer as popt  # noqa: E402

@@ -69,7 +69,7 @@ def test_two_process_distributed_step():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1500)
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
