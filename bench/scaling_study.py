@@ -55,7 +55,7 @@ def main():
         "alive": int(eng.n_alive()),
         "dispatches": int(s["dispatches"]),
         "migrated": int(s["migrated"]),
-        "halo_dropped": int(s["halo_dropped"]),
+        "halo_arrivals": int(s["halo_arrivals"]),
         "halo_rounds": int(s["halo_rounds"]),
         "halo_bytes_logical": int(s["halo_bytes_logical"]),
         "halo_bytes_wire": int(s["halo_bytes_wire"]),

@@ -19,7 +19,24 @@ import numpy as np
 from hpmvs_tpu.core.octree import LinearOctree
 
 
+def _owned_path(engine, path: str):
+    """Owned multi-host engines checkpoint per process: each process's store
+    holds only its Morton range, so a shared path would clobber (P-1)/P of
+    the cloud and a global file loaded everywhere would duplicate patches
+    P-fold and violate the ownership invariant (r3 advisory). Returns the
+    process-suffixed path, or None for single-store engines."""
+    pid = getattr(engine, "pid", None)
+    if pid is None:
+        return None
+    # explicit .npz keeps np.savez from appending another extension, so
+    # save and load agree on the exact filename
+    return f"{path}.proc{pid}of{engine.n_proc}.npz"
+
+
 def save_checkpoint(engine, path: str) -> None:
+    opath = _owned_path(engine, path)
+    if opath is not None:
+        path = opath
     engine._flush_depths()  # deferred depth adds must land in the snapshot
     p = engine.patches
     t = engine.tree
@@ -54,7 +71,21 @@ def save_checkpoint(engine, path: str) -> None:
 
 def load_checkpoint(engine, path: str) -> None:
     """Restore engine state in place (engine must be built on the same
-    scene/model: cameras + images are reconstructed from the NVM, not stored)."""
+    scene/model: cameras + images are reconstructed from the NVM, not
+    stored). Owned multi-host engines load their process-suffixed share;
+    feeding a single-store checkpoint to an owned run (or resuming with a
+    different process count) raises instead of silently duplicating the
+    cloud P-fold."""
+    opath = _owned_path(engine, path)
+    if opath is not None:
+        import os
+        if not os.path.exists(opath):
+            raise FileNotFoundError(
+                f"owned multi-host resume needs the per-process share "
+                f"<{opath}> (written by save_checkpoint under the same "
+                f"process count); a single-store checkpoint cannot be "
+                f"loaded into an owned engine")
+        path = opath
     z = np.load(path, allow_pickle=False)
     n = z["patch_center"].shape[0]
     p = engine.patches

@@ -111,6 +111,14 @@ class OwnedSpatialEngine(SpatialEngine):
         self.stats["host_collectives"] += 1
         return int(_allgather(np.asarray([n], np.int64)).max())
 
+    def _agree_rebuild(self, needed: bool) -> bool:
+        """OR the slab-rebuild decision across processes: the rebuild path
+        calls the _agree_dim collective, so either every process enters it
+        this wavefront or none does (a process-local key diverges in owned
+        mode, where each tree holds only its own blocks' cells)."""
+        self.stats["host_collectives"] += 1
+        return bool(_allgather(np.asarray([int(needed)], np.int64)).max())
+
     def _shard_local_mask(self) -> np.ndarray:
         return self.shard_proc == self.pid
 

@@ -160,16 +160,46 @@ class SpatialEngine(Engine):
         provisional SfM-point cube (block-major seeding)."""
         return self.tree if self.tree is not None else self._provisional
 
+    def _agree_rebuild(self, needed: bool) -> bool:
+        """Agree the slab-rebuild decision (identity here). The owned engine
+        ORs it across processes: the rebuild path runs a global collective
+        (_agree_dim), so ALL processes must enter it in the same wavefront
+        or none -- a process-local decision key deadlocks (r3 advisory)."""
+        return bool(needed)
+
+    def _resident_view_mask(self) -> np.ndarray:
+        """(n_blocks, ncam) bool: cameras actually referenced by resident
+        patches, per block. Unioned into the slab assignment so the
+        slab-coverage invariant holds for EVERY resident patch's view list:
+        the geometric depth-bound truncation (camera_depth_bounds) can drop
+        a camera whose patches drifted outside its SfM depth range, which
+        would silently zero that view in the gate dispatch (r3 advisory)."""
+        ncam = self.scene.n_cameras
+        out = np.zeros((self.n_blocks, ncam), bool)
+        p = self.patches
+        ids = np.nonzero(p.alive[:p.n])[0]
+        if len(ids) == 0 or self._btree() is None:
+            return out
+        blk = self.block_of_points(p.center[ids])
+        views = p.views[ids]
+        v = views.ravel()
+        b = np.repeat(blk, views.shape[1])
+        m = v >= 0
+        out[b[m], v[m]] = True
+        return out
+
     def _ensure_subsets(self):
         """Build (or rebuild after a re-root / rebalance) the per-SHARD
         image slabs -- the union of the cameras seeing each shard's assigned
-        blocks -- and commit them to the mesh, sharded on the shard dim."""
+        blocks -- and commit them to the mesh, sharded on the shard dim.
+
+        The rebuild triggers on a change of the per-shard CAMERA UNIONS (or
+        the slab height), not of the raw occupancy bitmap: occupancy churns
+        nearly every wavefront while the camera unions are stable, and each
+        rebuild is an O(shards x rows) host copy + device_put (r3 advisory).
+        The decision itself is agreed across processes (_agree_rebuild)."""
         t = self._btree()
         occ_oct = self._occupied_octants()
-        key = (tuple(t.center), t.width, self.block_shard.tobytes(),
-               occ_oct.tobytes())
-        if self._bpack_dev is not None and self._bpack_key == key:
-            return
         from hpmvs_tpu.parallel import subsets
         imgs = self.scene.ctx.imgs
         w0 = np.asarray(imgs.width)[:, 0]
@@ -186,15 +216,25 @@ class SpatialEngine(Engine):
         occ_block = np.zeros(self.n_blocks, bool)
         np.logical_or.at(occ_block, oct_block, occ_oct)
         bmask &= occ_block[:, None]
+        # coverage invariant: every resident patch's views stay in its
+        # block's slab even when the depth bounds would truncate them
+        resident = self._resident_view_mask()
+        self.stats["subset_bound_overrides"] = int((resident & ~bmask).sum())
+        bmask |= resident
         # shard slab = union over its assigned blocks (main.cpp:50-96: a
         # thread's working set is the subtrees it currently processes)
         mask = np.zeros((self.n_shards, bmask.shape[1]), bool)
         for b in range(self.n_blocks):
             mask[self.block_shard[b]] |= bmask[b]
+        local_rows = subsets.slab_rows(np.asarray(imgs.height), mask)
+        key = (tuple(t.center), t.width,
+               mask[self._shard_local_mask()].tobytes(), local_rows)
+        needed = self._bpack_dev is None or self._bpack_key != key
+        if not self._agree_rebuild(needed):
+            return
         host = subsets.build_block_packs(
             subsets.ImagePack(*(np.asarray(a) for a in imgs)), mask,
-            rows_b=self._agree_dim(subsets.slab_rows(
-                np.asarray(imgs.height), mask)))
+            rows_b=self._agree_dim(local_rows))
         self._bpack_dev = subsets.device_put_block_pack(self.mesh, host)
         self._bpack_key = key
         self._subset_gate_fn = None
@@ -540,6 +580,10 @@ class SpatialEngine(Engine):
             [np.asarray(g[1]) & np.repeat(lmask, sl)
              for (sl, _), g in zip(devs, got)])
         a = np.nonzero(valid)[0]
+        # wire-delivery invariant: every migrated patch has a dedicated slot
+        # (no drops by construction), so arrivals across all processes ==
+        # migrations (asserted by tests/test_spatial.py)
+        self.stats["halo_arrivals"] += len(a)
         if len(a) == 0:
             return 0
         r = recv[a]

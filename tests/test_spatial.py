@@ -101,7 +101,11 @@ def test_migration_happened(runs):
     collective (migrated > 0) and nothing is silently dropped."""
     _, spatial = runs
     assert spatial.stats["migrated"] > 0
-    assert spatial.stats["halo_dropped"] == 0
+    # delivery invariant: the ragged halo gives every migrated patch a
+    # dedicated slot, so every migration arrives (single process reads all
+    # shards); insertion may still reject via the addConditional gates
+    assert spatial.stats["halo_arrivals"] == spatial.stats["migrated"]
+    assert spatial.stats["migrated_inserted"] <= spatial.stats["migrated"]
     # block-major layout really ran (pad accounting present)
     assert spatial.stats["block_work_lanes"] > 0
 

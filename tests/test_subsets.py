@@ -33,21 +33,34 @@ def _run(eng, steps=25):
 
 
 def test_subset_parity_with_replicated():
-    """image_subsets=True must reproduce the replicated-image spatial run:
-    the conservative assignment gives every block-resident patch all the
-    views it can geometrically use, and absent cameras are rejected by the
-    zeroed width/height tables exactly where the in-bounds gates already
-    rejected them."""
+    """image_subsets=True must reproduce the replicated-image spatial run
+    STATISTICALLY (count within 5%, equal plane quality): the conservative
+    assignment gives every block-resident patch all the views it can
+    geometrically use, and absent cameras are rejected by the zeroed
+    width/height tables exactly where the in-bounds gates already rejected
+    them.
+
+    Parity is statistical, not bitwise (same form and reason as
+    test_spatial.test_spatial_parity_with_single_device): the dynamic block
+    assignment is path-dependent -- without subsets the engine re-LPT-packs
+    blocks every round, with subsets it uses contiguous quantile cuts plus
+    REBALANCE_BELOW hysteresis -- so lane order differs between the two
+    runs, XLA reduction order flips near-threshold NCC gates, and the
+    first-wins insertion dedup can resolve collisions differently
+    (round-3 measured delta on this scene: 199 vs 201 alive, 1%)."""
     opt, ps = _tiny()
     mesh = pmesh.make_mesh(8, shape=(4, 2))
     e0 = _run(SpatialEngine(ps.model, opt, images=ps.images, mesh=mesh))
     e1 = _run(SpatialEngine(ps.model, opt, images=ps.images, mesh=mesh,
                             image_subsets=True))
     assert e1.stats["subset_rows_per_block"] > 0
-    assert e0.n_alive() == e1.n_alive()
-    c0 = np.sort(e0.alive_arrays()[0], axis=0)
-    c1 = np.sort(e1.alive_arrays()[0], axis=0)
-    np.testing.assert_allclose(c0, c1, atol=1e-5)
+    n0, n1 = e0.n_alive(), e1.n_alive()
+    assert abs(n1 - n0) <= max(0.05 * n0, 5), (n0, n1)
+    d0 = np.abs(e0.alive_arrays()[0][:, 2] - ps.plane_z)
+    d1 = np.abs(e1.alive_arrays()[0][:, 2] - ps.plane_z)
+    rms0 = float(np.sqrt((d0 ** 2).mean()))
+    rms1 = float(np.sqrt((d1 ** 2).mean()))
+    assert rms1 <= rms0 * 1.1 + 1e-4, (rms0, rms1)
 
 
 def test_assignment_conservative_for_resident_patches():
