@@ -51,6 +51,9 @@ def main(argv=None) -> int:
                     help="bundle-adjust cameras+PATCHES after densification "
                          "(Schur point-block elimination over the dense "
                          "cloud; depth buffers replay under the result)")
+    ap.add_argument("--ba_dense_every", type=int, default=0,
+                    help="run cameras+patches BA every N octree levels "
+                         "inside the progressive loop (0 = off)")
     ap.add_argument("--start_level", type=int, default=None,
                     help="pyramid level for seed patches (default 4)")
     ap.add_argument("--max_views", type=int, default=None,
@@ -122,7 +125,8 @@ def main(argv=None) -> int:
                                        resume=args.resume,
                                        spatial=args.spatial,
                                        image_subsets=args.image_subsets,
-                                       ba_dense=args.ba_dense)
+                                       ba_dense=args.ba_dense,
+                                       ba_dense_every=args.ba_dense_every)
     finally:
         if args.profile:
             import jax

@@ -443,6 +443,125 @@ def build_dense_problem(model, centers: np.ndarray,
         m_w=jnp.ones((int(keep.sum()),), jnp.float32))
 
 
+def _cam_tables(model):
+    """(R0 (C,3,3), t0 (C,3), f (C,)) world->cam tables from an NVM model."""
+    from hpmvs_tpu.testing import _quatR
+    ncam = len(model.cameras)
+    R0 = np.zeros((ncam, 3, 3))
+    t0 = np.zeros((ncam, 3))
+    f = np.zeros(ncam)
+    for ci, cam in enumerate(model.cameras):
+        R0[ci] = _quatR(cam.rq)
+        t0[ci] = -R0[ci] @ cam.c
+        f[ci] = cam.f
+    return R0, t0, f
+
+
+def stamp_obs(model, centers: np.ndarray, views: np.ndarray) -> np.ndarray:
+    """(N, K, 2) uv reprojections of each patch center into its view
+    cameras under `model` -- the creation-time observation record for
+    periodic dense BA. Invalid/behind-camera slots are NaN."""
+    R0, t0, f = _cam_tables(model)
+    centers = np.asarray(centers, np.float64)
+    views = np.asarray(views)
+    N, K = views.shape
+    uv = np.full((N, K, 2), np.nan, np.float32)
+    pt_idx, k_idx = np.nonzero(views >= 0)
+    ci = views[pt_idx, k_idx].astype(np.int64)
+    xc = np.einsum("mij,mj->mi", R0[ci], centers[pt_idx]) + t0[ci]
+    ok = xc[:, 2] > 1e-6
+    z = np.maximum(xc[:, 2], 1e-6)
+    vals = (f[ci, None] * xc[:, :2] / z[:, None]).astype(np.float32)
+    vals[~ok] = np.nan
+    uv[pt_idx, k_idx] = vals
+    return uv
+
+
+class DenseObsStore:
+    """Per-patch creation-time observations for periodic dense BA
+    (--ba_dense_every): each alive patch's uv reprojections are stamped
+    ONCE, under the cameras current when the patch is first seen by a
+    periodic pass. Later passes then solve cameras+centers against these
+    earlier measurements, so camera drift accumulated since (streaming SfM
+    updates, perturbations) is genuinely constrained -- a problem built
+    fresh from the current state would be self-consistent and the solve a
+    no-op. pids are append-only (PatchStore.alloc never reuses slots), so
+    stamps stay valid for a patch's lifetime."""
+
+    def __init__(self, max_views: int):
+        self.K = max_views
+        self.uv = np.full((0, max_views, 2), np.nan, np.float32)
+        self.stamped = np.zeros((0,), bool)
+
+    def _ensure(self, n: int):
+        if len(self.stamped) >= n:
+            return
+        cap = max(1024, len(self.stamped))
+        while cap < n:
+            cap *= 2
+        uv = np.full((cap, self.K, 2), np.nan, np.float32)
+        uv[:len(self.uv)] = self.uv
+        st = np.zeros((cap,), bool)
+        st[:len(self.stamped)] = self.stamped
+        self.uv, self.stamped = uv, st
+
+
+def build_dense_problem_obs(model, centers: np.ndarray, views: np.ndarray,
+                            uv: np.ndarray) -> BAProblem:
+    """BAProblem whose measurements are the STORED observations `uv`
+    ((N, K, 2), NaN = invalid) instead of reprojections under the current
+    cameras (cf. build_dense_problem)."""
+    from hpmvs_tpu.testing import _quatR
+    ncam = len(model.cameras)
+    K = np.zeros((ncam, 3, 3))
+    R0, t0, f = _cam_tables(model)
+    for ci in range(ncam):
+        K[ci] = np.diag([f[ci], f[ci], 1.0])
+    views = np.asarray(views)
+    centers = np.asarray(centers, np.float64)
+    pt_idx, k_idx = np.nonzero(views >= 0)
+    cam_idx = views[pt_idx, k_idx].astype(np.int64)
+    muv = uv[pt_idx, k_idx]
+    keep = np.isfinite(muv).all(1)
+    return BAProblem(
+        cam_K=jnp.asarray(K, jnp.float32),
+        cam_R0=jnp.asarray(R0, jnp.float32),
+        cam_t0=jnp.asarray(t0, jnp.float32),
+        pts0=jnp.asarray(centers, jnp.float32),
+        m_cam=jnp.asarray(cam_idx[keep], jnp.int32),
+        m_pt=jnp.asarray(pt_idx[keep], jnp.int32),
+        m_uv=jnp.asarray(muv[keep], jnp.float32),
+        m_w=jnp.ones((int(keep.sum()),), jnp.float32))
+
+
+def periodic_dense_ba(engine, obs: DenseObsStore, iters: int = 6,
+                      cg_iters: int = 40):
+    """One --ba_dense_every pass: stamp observations for patches created
+    since the last pass, then re-solve cameras+patches against ALL stamped
+    observations and fold the result back (apply_dense_ba plumbing).
+
+    Owned multi-host engines take the consistency-solve path (problem
+    built from the globally gathered current state): per-process stamp
+    stores would need gather-order bookkeeping; the owned dense-BA
+    mechanics themselves are exercised with an explicit drift problem in
+    tests/multihost_worker.py."""
+    if hasattr(engine, "n_alive_local"):
+        return apply_dense_ba(engine, iters=iters, cg_iters=cg_iters)
+    p = engine.patches
+    pids = np.nonzero(p.alive[:p.n])[0]
+    if len(pids) < 16:
+        return None
+    obs._ensure(p.n)
+    new = pids[~obs.stamped[pids]]
+    if len(new):
+        obs.uv[new] = stamp_obs(engine.model, p.center[new], p.views[new])
+        obs.stamped[new] = True
+    prob = build_dense_problem_obs(engine.model, p.center[pids],
+                                   p.views[pids], obs.uv[pids])
+    return apply_dense_ba(engine, iters=iters, cg_iters=cg_iters,
+                          problem=prob)
+
+
 def apply_cameras_to_model(model, cam_params: np.ndarray):
     """Write refined camera parameters back into a (copied) NVM model,
     leaving the sparse points untouched."""

@@ -45,7 +45,8 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
         snapshot_hook=None, max_prio: Optional[int] = None,
         bundle_adjust: bool = False, resume: Optional[str] = None,
         mesh="auto", spatial: bool = False,
-        image_subsets: bool = False, ba_dense: bool = False) -> Engine:
+        image_subsets: bool = False, ba_dense: bool = False,
+        ba_dense_every: int = 0) -> Engine:
     """Progressive densification main loop (main.cpp:145-202).
 
     bundle_adjust: refine cameras + sparse points by Schur-complement BA
@@ -123,6 +124,7 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
 
     t0 = time.time()
     top = opt.max_prio if max_prio is None else max_prio
+    ba_obs = None
     for prio in range(top):
         changed = engine.process_priority_step(prio)
 
@@ -139,6 +141,27 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
                      engine.n_alive())
         if snapshot_hook is not None:
             snapshot_hook(engine, prio)
+
+        if (ba_dense_every > 0 and prio % 10 == 9
+                and (prio // 10) % ba_dense_every == 0
+                and engine.n_alive() > 0):
+            # periodic cameras+patches refinement between octree levels
+            # (north-star mode, BASELINE.json): the growing cloud is the
+            # tie-point set. Patches created since the previous pass get
+            # their observations stamped under the then-current cameras
+            # (ba.DenseObsStore); cameras + centers then re-solve jointly
+            # against all stamped observations and the z-buffers replay
+            # under the refined geometry, so subsequent levels densify
+            # against better cameras. Composes with the owned multi-host
+            # engine (consistency-solve path, parallel/ba.py).
+            from hpmvs_tpu.parallel import ba
+            if ba_obs is None:
+                ba_obs = ba.DenseObsStore(opt.MAX_VIEWS)
+            hist = ba.periodic_dense_ba(engine, ba_obs)
+            if hist is not None:
+                log.info("periodic dense BA at prio %d (%d patches): "
+                         "reprojection RMS %.4f -> %.4f px", prio,
+                         engine.n_alive(), float(hist[0]), float(hist[-1]))
 
         if not engine.have_work():
             break

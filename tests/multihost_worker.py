@@ -180,11 +180,85 @@ def main():
     assert len(cg) == total2
     assert total2 > 24   # grew beyond the seeds: extends/halo worked
 
+    # 6) owned + image_subsets run TO COMPLETION: the full wavefront loop
+    # with partitioned host state AND per-block camera slabs drains all
+    # work; the merged cloud statistically matches the launcher's completed
+    # single-process reference; every process keeps a real (~1/P) share of
+    # the patches throughout. (CellProcessor.h:60-68 ownership structure
+    # driven to the reference's own stopping condition, main.cpp:174-180.)
+    exp_final = int(sys.argv[4]) if len(sys.argv) > 4 else -1
+    opt3 = dataclasses.replace(opt, MAX_TREE_LEVEL=8)
+    eng3 = OwnedSpatialEngine(ps.model, opt3, images=ps.images, mesh=pm,
+                              image_subsets=True)
+    eng3.seed()
+    share_floor_ok = True
+    for prio in range(opt3.max_prio):
+        eng3.process_priority_step(prio)
+        if prio % 20 == 19:
+            cts = np.asarray(multihost_utils.process_allgather(np.asarray(
+                [eng3.n_alive_local()], np.int64)))[:, 0]
+            if cts.sum() > 40 and cts.min() < 0.05 * cts.sum():
+                share_floor_ok = False
+        if not eng3.have_work():
+            break
+    nl3 = eng3.n_alive_local()
+    counts3 = np.asarray(multihost_utils.process_allgather(
+        np.asarray([nl3], np.int64)))[:, 0]
+    total3 = int(counts3.sum())
+    assert share_floor_ok, "a process's share collapsed mid-run"
+    assert counts3.min() > 0.1 * total3, counts3
+    live3 = np.nonzero(eng3.patches.alive[:eng3.patches.n])[0]
+    own3 = eng3.block_proc[eng3.block_of_points(eng3.patches.center[live3])]
+    assert (own3 == PID).all(), "foreign patches in local store"
+    if exp_final >= 0:
+        assert abs(total3 - exp_final) <= max(0.15 * exp_final, 10), \
+            (total3, exp_final)
+    cg3, ng3, _, sg3, vg3, _ = eng3.alive_arrays()
+    assert len(cg3) == total3
+    # plane-scene ground truth: surface z == 0 within spatial tolerance
+    z_rms = float(np.sqrt(np.mean(cg3[:, 2] ** 2)))
+    assert z_rms < 0.05, z_rms
+
+    # 7) owned-mode cameras+patches dense BA (parallel/ba.py:483-496 owned
+    # branch, BASELINE.json north-star wording): record observations under
+    # the true cameras, perturb all but two gauge anchors (deterministic
+    # rng -> identical on both processes), re-solve jointly -> cameras
+    # recover and reprojection RMS collapses.
+    from hpmvs_tpu.parallel import ba as ba_mod
+    from hpmvs_tpu.testing import _quatR, _rot_to_quat
+    import copy
+    true_model = eng3.model
+    true_centers = np.asarray([c.c for c in true_model.cameras])
+    prob_true = ba_mod.build_dense_problem(true_model, cg3, vg3)
+    rng = np.random.default_rng(11)
+    pert_model = copy.deepcopy(true_model)
+    for cam in pert_model.cameras[2:]:
+        w = rng.normal(0, 0.004, 3)
+        th = np.linalg.norm(w) + 1e-12
+        Km = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                       [-w[1], w[0], 0]]) / th
+        dR = np.eye(3) + np.sin(th) * Km + (1 - np.cos(th)) * (Km @ Km)
+        cam.rq = _rot_to_quat(_quatR(cam.rq) @ dR)
+        cam.c = cam.c + rng.normal(0, 0.01, 3)
+    pre_err = np.linalg.norm(np.asarray(
+        [c.c for c in pert_model.cameras]) - true_centers, axis=1)
+    eng3.model = pert_model
+    prob = ba_mod.build_dense_problem(pert_model, cg3, vg3)._replace(
+        m_uv=prob_true.m_uv)
+    hist = np.asarray(ba_mod.apply_dense_ba(eng3, problem=prob))
+    assert hist[-1] < hist[0] / 3.0, hist
+    post_err = np.linalg.norm(np.asarray(
+        [c.c for c in eng3.model.cameras]) - true_centers, axis=1)
+    assert np.median(post_err[2:]) < np.median(pre_err[2:]) / 2.0, \
+        (pre_err, post_err)
+
     print(f"MULTIHOST_OK pid={PID} accepted={int(ok.sum())} "
           f"depth_cells={int((depth < depth_mod.MAX_DEPTH).sum())} "
           f"engine_alive={n_alive} migrated={eng.stats['migrated']} "
           f"owned_local={nl} owned_total={total2} "
-          f"owned_collectives={eng2.stats['host_collectives']}")
+          f"owned_collectives={eng2.stats['host_collectives']} "
+          f"owned_complete_total={total3} owned_complete_zrms={z_rms:.4f} "
+          f"owned_ba_rms={hist[0]:.3f}->{hist[-1]:.3f}")
 
 
 if __name__ == "__main__":

@@ -93,6 +93,64 @@ def test_apply_to_model_roundtrip(ba_setup):
 
 
 @pytest.mark.slow
+def test_periodic_dense_ba_recovers_midrun_drift(plane_scene, tmp_path):
+    """--ba_dense_every as a REFINEMENT mode inside the progressive loop:
+    the first periodic pass stamps creation-time observations
+    (ba.DenseObsStore), cameras then drift mid-run (streaming-SfM-update
+    stand-in, injected via snapshot_hook), and the next periodic pass must
+    pull the cameras back toward truth because the pre-drift observations
+    constrain the joint solve. No reference referent (north-star mode)."""
+    import dataclasses
+    from hpmvs_tpu.config import Options
+    from hpmvs_tpu.geom import camera as cam_ops
+    from hpmvs_tpu.runtime import pipeline
+
+    opt = dataclasses.replace(Options(), START_LEVEL=2, MAXLEVEL=4,
+                              COVIS_MIN_POINTS=10, MAX_TREE_LEVEL=6,
+                              OUTFOLDER=str(tmp_path))
+    true_model = plane_scene.model
+    true_centers = np.asarray([c.c for c in true_model.cameras])
+    state = {"injected": False, "pre_err": None}
+
+    def inject_drift(engine, prio):
+        # after the prio-29 BA pass stamped the early patches, drift every
+        # camera but the two gauge anchors; rebuild the device camera SoA
+        # exactly as a streaming SfM update would
+        if prio != 35 or state["injected"]:
+            return
+        rng = np.random.default_rng(21)
+        pert = _perturb(engine.model, rng, rot=0.002, trans=0.005, pts=0.0,
+                        keep=2)
+        pert.points_xyz = engine.model.points_xyz
+        engine.model = pert
+        widths = [int(w) for w in engine.scene.width_np[:, 0]]
+        heights = [int(h) for h in engine.scene.height_np[:, 0]]
+        cams = cam_ops.build_cameras(pert.cameras, widths, heights,
+                                     engine.opt.MAXLEVEL)
+        engine.scene = engine.scene._replace(
+            ctx=engine.scene.ctx._replace(cams=cams))
+        engine.refresh_host_caches()
+        state["injected"] = True
+        state["pre_err"] = np.linalg.norm(
+            np.asarray([c.c for c in pert.cameras]) - true_centers, axis=1)
+
+    eng = pipeline.run(true_model, opt, images=plane_scene.images,
+                       mesh=None, ba_dense_every=2,
+                       snapshot_hook=inject_drift)
+    assert state["injected"], "drift hook never fired"
+    assert eng.n_alive() > 200
+    post_err = np.linalg.norm(
+        np.asarray([c.c for c in eng.model.cameras]) - true_centers, axis=1)
+    pre = np.median(state["pre_err"][2:])
+    assert np.median(post_err[2:]) < pre / 2.0, (state["pre_err"], post_err)
+    # the final cloud stays on the true surface despite the mid-run drift
+    p = eng.patches
+    pids = np.nonzero(p.alive[:p.n])[0]
+    z = np.abs(p.center[pids][:, 2] - plane_scene.plane_z)
+    assert float(np.sqrt((z ** 2).mean())) < 0.02
+
+
+@pytest.mark.slow
 def test_dense_ba_recovers_cameras_and_patches(plane_scene, tmp_path):
     """Cameras+PATCHES BA (north star; no reference referent): densify with
     true cameras, record the patch observations, perturb every camera but

@@ -132,3 +132,37 @@ def test_requeue_from_tree_skip_clean(seeded_engine, tmp_path):
     n_cells = int(np.count_nonzero(eng3.tree.alive[:eng3.tree.n]))
     assert n_all == n_cells
     assert 0 <= n_skip <= n_all
+
+
+@pytest.mark.slow
+def test_nvm_reexport_reconstructs(seeded_engine, tmp_path):
+    """Dogfood the full NVM round trip (Scene.cpp:646-713 saveAsNVM ->
+    NVMReader.cpp:115-155 ingest): export the densified scene as an NVM
+    project with images re-encoded to disk, re-read it through the standard
+    reader (path fixup + undistort + measurement parsing) and reconstruct a
+    second-generation cloud from it -- the closest available stand-in for a
+    real external NVM ingest."""
+    scene, opt, eng = seeded_engine
+    folder = str(tmp_path / "nvm_gen2")
+    path = export_mod.save_as_nvm(eng, folder)
+
+    from hpmvs_tpu.runtime import pipeline
+    opt2 = dataclasses.replace(opt, OUTFOLDER=str(tmp_path / "out2"))
+    eng2 = pipeline.run_nvm_file(path, opt2, max_prio=60, mesh=None)
+
+    # camera fidelity through the quaternion + focal re-encoding
+    c1 = np.asarray(eng.scene.ctx.cams.center)
+    c2 = np.asarray(eng2.scene.ctx.cams.center)
+    np.testing.assert_allclose(c2, c1, atol=1e-3)
+    f1 = np.linalg.norm(np.asarray(eng.scene.ctx.cams.P)[:, 0][:, 0, :3],
+                        axis=1)
+    f2 = np.linalg.norm(np.asarray(eng2.scene.ctx.cams.P)[:, 0][:, 0, :3],
+                        axis=1)
+    np.testing.assert_allclose(f2, f1, rtol=1e-3)
+
+    # a sane second-generation cloud on the same surface (JPEG re-encode
+    # costs some texture fidelity; the structure must survive)
+    pts = eng2.alive_arrays()[0]
+    assert len(pts) > 0.5 * eng.n_alive(), (len(pts), eng.n_alive())
+    z = np.abs(pts[:, 2] - scene.plane_z)
+    assert float(np.median(z)) < 0.01, float(np.median(z))

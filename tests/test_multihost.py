@@ -24,9 +24,12 @@ def _free_port() -> int:
     return port
 
 
-def _expected_alive() -> int:
-    """Single-process reference: the SAME SpatialEngine configuration on
-    this process's 8 virtual devices; the 2-process run must match it."""
+def _expected_alive() -> tuple:
+    """Single-process references: (a) the SAME SpatialEngine configuration
+    on this process's 8 virtual devices after 25 steps (the 2-process
+    replicated run must match it exactly); (b) a COMPLETED run at
+    MAX_TREE_LEVEL=8 (the owned+subsets completion leg must match it
+    statistically)."""
     import dataclasses
 
     import numpy as np
@@ -47,11 +50,21 @@ def _expected_alive() -> int:
         eng.process_priority_step(prio)
         if not eng.have_work():
             break
-    return int(eng.n_alive())
+    partial = int(eng.n_alive())
+
+    opt3 = dataclasses.replace(opt, MAX_TREE_LEVEL=8)
+    eng2 = SpatialEngine(ps.model, opt3, images=ps.images,
+                         mesh=pmesh.make_mesh(8, shape=(4, 2)))
+    eng2.seed()
+    for prio in range(opt3.max_prio):
+        eng2.process_priority_step(prio)
+        if not eng2.have_work():
+            break
+    return partial, int(eng2.n_alive())
 
 
 def test_two_process_distributed_step():
-    expected = _expected_alive()
+    expected, expected_final = _expected_alive()
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = dict(os.environ)
@@ -62,7 +75,8 @@ def test_two_process_distributed_step():
         os.path.abspath(__file__)))
 
     procs = [subprocess.Popen([sys.executable, "-u", worker, str(pid),
-                               str(port), str(expected)],
+                               str(port), str(expected),
+                               str(expected_final)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, env=env, text=True)
              for pid in range(2)]
