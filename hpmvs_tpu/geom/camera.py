@@ -151,3 +151,29 @@ def get_leveli(cams: Cameras, ci, x3, scale, max_level):
     lv = jnp.round(get_level(cams, ci, x3, scale))
     lv = jnp.clip(lv, 0, max_level)
     return lv.astype(jnp.int32)
+
+
+def get_level_fit(cams: Cameras, ci, x3, scale, max_level, win_w: int,
+                  patch: float = 7.0):
+    """Window-fitting sampling level: the reference's rounded level
+    (get_leveli) bumped one coarser when the patch grid's pixel span at the
+    rounded level cannot fit the cached window with a drift margin.
+
+    Window-cache sampling (ops/windows.py) is a TPU-native construct with a
+    hard per-view footprint bound -- the window width -- that the
+    reference's direct full-image gathers (PatchOptimizer.cpp:476-529) do
+    not have. At fractional levels just under the rounding threshold the
+    7x7 grid spans patch * 2^0.5 ~ 9.9 px, which cannot sit inside a 12 px
+    window once the integer window origin and optimizer drift consume the
+    rest; the coverage gate then voids the view. Bumping such lanes one
+    level coarser samples at ~70% of the nominal rate but keeps them valid
+    (measured on the ring stress scene: extend acceptance 0.3% -> ~50%
+    purely from this rule). Documented divergence: views whose fractional
+    level lies in (log2((W-3)/patch), 0.5) sample one level coarser than
+    the reference would."""
+    import math
+    raw = get_level(cams, ci, x3, scale)
+    lv = jnp.round(raw)
+    thresh = math.log2(max((win_w - 3.0) / patch, 1.001))
+    lv = jnp.where(raw - lv > thresh, lv + 1.0, lv)
+    return jnp.clip(lv, 0, max_level).astype(jnp.int32)

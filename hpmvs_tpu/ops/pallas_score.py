@@ -120,10 +120,10 @@ def _geometry(ctx, opt: Options, center, normal, scale, views, ws):
     ray = sampling.normalize3(cams.center[ci] - center[:, None])
     angle_ok = jnp.sum(ray * nz[:, None], axis=-1) >= jnp.cos(opt.MAX_ANGLE)
 
-    lvl = cam_ops.get_leveli(cams, ci,
-                             jnp.broadcast_to(center[:, None], ci.shape + (3,)),
-                             jnp.broadcast_to(scale[:, None], ci.shape),
-                             opt.MAXLEVEL - 1)
+    lvl = cam_ops.get_level_fit(
+        cams, ci, jnp.broadcast_to(center[:, None], ci.shape + (3,)),
+        jnp.broadcast_to(scale[:, None], ci.shape), opt.MAXLEVEL - 1,
+        _win_width(ws))
     level_ok = lvl == ws.level
     level = ws.level
 

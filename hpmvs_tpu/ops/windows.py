@@ -126,7 +126,9 @@ def fetch_windows(cams, imgs, ci, center, scale, maxlevel: int,
     overwrite masked slots either way). keep_raw: on the DMA path, return
     win as the raw (N, W, 128) kernel output (floats [0:3W] = window) so
     fetch_windows_t can transpose before slicing."""
-    level = cam_ops.get_leveli(cams, ci, center, scale, maxlevel)
+    # window-fitting level: one coarser when the grid span cannot fit W
+    # (camera.get_level_fit; the sampling passes use the same rule)
+    level = cam_ops.get_level_fit(cams, ci, center, scale, maxlevel, W)
     uvw = cam_ops.project(cams, ci, center, level)
     w = imgs.width[ci, level]
     h = imgs.height[ci, level]
@@ -172,7 +174,7 @@ def sample_from_windows(cams, imgs, ws: WindowState, ci, center, scale,
     ray = sampling.normalize3(cams.center[ci] - center)
     angle_ok = jnp.sum(ray * zaxis, axis=-1) >= max_angle_cos
 
-    level = cam_ops.get_leveli(cams, ci, center, scale, maxlevel)
+    level = cam_ops.get_level_fit(cams, ci, center, scale, maxlevel, W)
     level_ok = level == ws.level
     level = ws.level  # sample at the window's level
 

@@ -616,11 +616,26 @@ def make_ring_plane_scene(
     every camera sees everything."""
     rng = np.random.default_rng(seed)
     f = imgsize * 1.2
-    # texture detail must exist at the finest patch footprint (~0.02 world
-    # units): a cells=96 texture is locally a featureless gradient at
-    # level 0 and the NCC chain rejects ~98% of extend candidates there
+    # BROADBAND texture (multiple octaves), like natural ground imagery:
+    # the reconstruction works across patch scales from the coarse seed
+    # footprint down to the finest branch level, and every scale needs
+    # structure that is (a) present INSIDE a 7x7 NCC window at that
+    # scale (feature wavelength <= the patch footprint, else the window
+    # sees a featureless gradient) and (b) above the Nyquist rate of the
+    # rendered views (wavelength >= 2 pixels at the working image level,
+    # else cross-view aliasing decorrelates the NCC). Both bounds are
+    # ABSOLUTE world sizes -- the ground sample distance is set by camera
+    # height/f, not by the scene extent -- so the octave cell counts must
+    # scale with the extent. Measured failure modes: one octave at 0.105
+    # world = gradient inside fine patches (11% extend acceptance), one
+    # octave at 0.016 world = aliased at level 1 (<1% acceptance);
+    # isolated patches then die to the flatness-removal gate either way.
     tex_size = 2048
-    tex = smooth_texture(rng, tex_size, cells=640)
+    gsd = cam_height / f                 # level-0 ground sample distance
+    feat = (14.0 * gsd, 5.0 * gsd, 2.3 * gsd)   # world wavelengths
+    tex = sum(w * smooth_texture(rng, tex_size,
+                                 cells=max(int(2 * extent / fz), 8))
+              for w, fz in zip((0.4, 0.33, 0.27), feat))
 
     def tex_at(x, y):
         return _tex_bilinear(tex, tex_size, x / extent, y / extent)
