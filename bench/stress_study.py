@@ -95,13 +95,24 @@ def run_ring(quick: bool) -> dict:
     s = eng.stats
     repl_rows = int(s["subset_rows_replicated"])
     slab_rows = int(s["subset_rows_per_block"])
+    # resolution-scaled accuracy bar: the ring cameras' ground sample
+    # distance is cam_height/f (absolute world units, independent of the
+    # scene extent), so a fixed 0.02 would be ~1.75 GSD here vs the ~6 GSD
+    # the plane-scene tolerance allows. 4 GSD matches the achievable NCC
+    # localization at these near-nadir baselines.
+    gsd = 3.5 / (256 * 1.2)
+    tol = 4.0 * gsd
     return {
         "n_cams": n_cams,
         "imgsize": 256,
         "wall_s": round(wall, 1),
         "alive": int(eng.n_alive()),
+        "gsd": round(gsd, 5),
+        "tolerance_4gsd": round(tol, 5),
+        "inlier_frac_4gsd": float((d < tol).mean()),
         "inlier_frac_2pct": float((d < 0.02).mean()),
         "median_err": float(np.median(d)),
+        "median_err_gsd": float(np.median(d) / gsd),
         # THE subset saving: per-shard slab rows vs the replicated pack
         "subset_rows_per_shard": slab_rows,
         "rows_replicated": repl_rows,
@@ -117,6 +128,9 @@ def run_ring(quick: bool) -> dict:
             2),
         "depth_pack_mb": round(np.asarray(eng.pack.depth).nbytes / 2**20, 2),
         "patches_optimized": int(s["patches_optimized"]),
+        "subset_cams_per_block_mean": float(s.get("subset_block_cams_mean",
+                                                  0.0)),
+        "hist": [int(v) for v in eng.tree.histogram()],
     }
 
 

@@ -1138,6 +1138,70 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     return oc, on, os_, ov, ok, col
 
 
+# ---------------------------------------------------------------------------
+# Packed dispatch boundary: one f32 array in, one f32 array out.
+#
+# Through a host<->device transport every distinct array is a transfer RPC
+# with fixed latency; the engine's fused dispatch carries 6 input arrays
+# (+4 deferred-depth arrays when a pend window rides along) and fetches 6
+# outputs -- measured ~30 ms of pure H2D latency per dispatch on a tunneled
+# v5e at B=2048 (bench/profile_dispatch.py). Packing the batch into ONE
+# (B, 11+K) f32 buffer (int views/phases bitcast to f32, exact) cuts that
+# to a single transfer each way; unpacking on device is free slicing that
+# XLA fuses into the consumers.
+#
+# Row layouts:
+#   input  xin  (B, 11+K): c(3) n(3) s(1) parent_c(3) width(1) views(K,i32)
+#   pend  (Pb, 5+K): c(3) s(1) ph(1,i32) views(K,i32)
+#   output      (B, 11+K): c(3) n(3) s(1) color(3) ok(1) views(K,i32)
+# ---------------------------------------------------------------------------
+
+def _bc_i2f(a):
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def _bc_f2i(a):
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def unpack_gate_in(xin):
+    """(B, 11+K) packed input -> (c, n, s, v, parent_c, widths)."""
+    return (xin[:, 0:3], xin[:, 3:6], xin[:, 6], _bc_f2i(xin[:, 11:]),
+            xin[:, 7:10], xin[:, 10])
+
+
+def unpack_pend(pend):
+    """(Pb, 5+K) packed pend window -> (c, s, v, ph)."""
+    return (pend[:, 0:3], pend[:, 3], _bc_f2i(pend[:, 5:]),
+            _bc_f2i(pend[:, 4]))
+
+
+def pack_gate_out(oc, on, os_, ov, ok, col):
+    """(B, 11+K) packed output (ok as 0/1 f32, views bitcast)."""
+    return jnp.concatenate(
+        [oc, on, os_[:, None], col, ok.astype(jnp.float32)[:, None],
+         _bc_i2f(ov)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "n_images"))
+def optimize_and_gate_packed(ctx: SceneCtx, pack, opt: Options,
+                             n_images: int, xin, pend=None, gate_imgs=None):
+    """optimize_and_gate over the packed row layout. Returns the packed
+    output array, plus the updated depth buffer when a pend window was
+    passed."""
+    c, n, s, v, pc, w = unpack_gate_in(xin)
+    if pend is not None:
+        pc_, ps_, pv_, pph_ = unpack_pend(pend)
+        res = optimize_and_gate.__wrapped__(
+            ctx, pack, opt, n_images, c, n, s, v, pc, w,
+            pc_, ps_, pv_, pph_, gate_imgs=gate_imgs)
+        return pack_gate_out(*res[:6]), res[6]
+    res = optimize_and_gate.__wrapped__(ctx, pack, opt, n_images,
+                                        c, n, s, v, pc, w,
+                                        gate_imgs=gate_imgs)
+    return pack_gate_out(*res[:6])
+
+
 @functools.partial(jax.jit, static_argnames=("opt",))
 def optimize_batch(ctx: SceneCtx, opt: Options, center, normal, scale, views):
     """Optimize B patches in one shot.

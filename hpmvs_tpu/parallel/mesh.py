@@ -173,6 +173,25 @@ def sharded_optimize_and_gate(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
     return jax.jit(fn), mesh.devices.size
 
 
+def sharded_optimize_and_gate_packed(mesh: Mesh, ctx: popt.SceneCtx,
+                                     opt: Options,
+                                     pack: depth_mod.DepthPack,
+                                     n_images: int):
+    """Packed-row twin of sharded_optimize_and_gate: ONE (B, 11+K) f32
+    batch in / one out (+ replicated pend window and depth buffer) -- one
+    transfer each way per dispatch instead of 6-10 (see
+    ops/optimizer.py packed-dispatch note)."""
+    def body(xin, depth, pend):
+        local = pack._replace(depth=depth)
+        return popt.optimize_and_gate_packed.__wrapped__(
+            ctx, local, opt, n_images, xin, pend)
+
+    spec = P(("dp", "sp"))
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, P(), P()),
+                   out_specs=(spec, P()), check_vma=False)
+    return jax.jit(fn), mesh.devices.size
+
+
 def sharded_apply_depth_updates(mesh: Mesh, cams, pack: depth_mod.DepthPack,
                                 subsample: int):
     """Standalone deferred-depth flush over the mesh (replicated in/out):

@@ -52,7 +52,9 @@ class BlockImagePack(NamedTuple):
 def assign_images_to_blocks(cams, img_w0, img_h0, root_center: np.ndarray,
                             root_width: float, n_blocks: int,
                             block_level: int, near: np.ndarray = None,
-                            far: np.ndarray = None) -> np.ndarray:
+                            far: np.ndarray = None,
+                            oct_level: int = None,
+                            occ_oct: np.ndarray = None) -> np.ndarray:
     """(n_blocks, ncam) bool: camera c's frustum intersects block b.
 
     Blocks are the contiguous Morton ranges of runtime/spatial.py
@@ -65,17 +67,26 @@ def assign_images_to_blocks(cams, img_w0, img_h0, root_center: np.ndarray,
     near/far: optional per-camera depth bounds (from the camera's SfM
     measurement depth range) truncating the otherwise infinite pyramid --
     without them, every block BEYOND the observed surface still intersects
-    the frustum and spatially-distributed captures save no HBM."""
+    the frustum and spatially-distributed captures save no HBM.
+
+    oct_level/occ_oct: optional FINER test grid (oct_level >= block_level)
+    with an occupancy mask at that grid -- the frustum intersection then
+    only counts octants that actually hold reconstruction (a ground-plane
+    capture occupies a thin z-slab; testing whole blocks charges every
+    camera whose cone grazes the block's empty volume). occ_oct is
+    (8^oct_level,) in Morton order."""
     P0 = np.asarray(cams.P)[:, 0]                      # (ncam, 3, 4)
     ncam = P0.shape[0]
-    L = block_level
+    L = oct_level if oct_level is not None else block_level
+    assert L >= block_level
     g = 1 << L
     ix, iy, iz = np.meshgrid(np.arange(g), np.arange(g), np.arange(g),
                              indexing="ij")
     ix, iy, iz = ix.ravel(), iy.ravel(), iz.ravel()
     keys = morton_encode(ix.astype(np.uint64), iy.astype(np.uint64),
                          iz.astype(np.uint64))
-    blk = (keys.astype(np.int64) * n_blocks) >> (3 * L)
+    blk = ((keys >> np.uint64(3 * (L - block_level))).astype(np.int64)
+           * n_blocks) >> (3 * block_level)
     cw = root_width / g
     lo = (root_center - root_width / 2.0)
     # octant corner grid: (ncell, 8, 3)
@@ -109,6 +120,9 @@ def assign_images_to_blocks(cams, img_w0, img_h0, root_center: np.ndarray,
         depth_ok = ((zmax >= np.asarray(near)[:, None])
                     & (zmin <= np.asarray(far)[:, None]))
         sees &= depth_ok | ~bounded[:, None]
+    if occ_oct is not None:
+        occ = np.asarray(occ_oct, bool)[keys.astype(np.int64)]
+        sees &= occ[None, :]
     mask = np.zeros((n_blocks, ncam), bool)
     for b in range(n_blocks):
         mask[b] = sees[:, blk == b].any(1)
@@ -213,22 +227,21 @@ def sharded_optimize_and_gate_subset(mesh: Mesh, ctx: popt.SceneCtx,
                                      opt: Options,
                                      pack: depth_mod.DepthPack,
                                      n_images: int):
-    """sharded_optimize_and_gate twin with per-shard image slabs. The
-    geometric gates (depthTests / viewBlockTest / pixelFreeTests) keep the
-    GLOBAL image dims via gate_imgs: visibility is scene-wide even when the
-    texture working set is block-local."""
-    def body(c, n, s, v, pc, w, depth, pend_c, pend_s, pend_v, pend_ph,
-             tex, texb, row0, wd, ht):
+    """sharded_optimize_and_gate twin with per-shard image slabs, over the
+    packed row layout (one (B, 11+K) f32 batch in/out + replicated pend
+    window, ops/optimizer.py packed-dispatch note). The geometric gates
+    (depthTests / viewBlockTest / pixelFreeTests) keep the GLOBAL image
+    dims via gate_imgs: visibility is scene-wide even when the texture
+    working set is block-local."""
+    def body(xin, depth, pend, tex, texb, row0, wd, ht):
         local = pack._replace(depth=depth)
         lctx = ctx._replace(imgs=_local_imgs(tex, texb, row0, wd, ht))
-        return popt.optimize_and_gate.__wrapped__(
-            lctx, local, opt, n_images, c, n, s, v, pc, w,
-            pend_c, pend_s, pend_v, pend_ph, gate_imgs=ctx.imgs)
+        return popt.optimize_and_gate_packed.__wrapped__(
+            lctx, local, opt, n_images, xin, pend, gate_imgs=ctx.imgs)
 
     spec = P(("dp", "sp"))
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(spec,) * 6 + (P(), P(), P(), P(), P())
-                   + (spec,) * 5,
-                   out_specs=(spec,) * 6 + (P(),),
+                   in_specs=(spec, P(), P()) + (spec,) * 5,
+                   out_specs=(spec, P()),
                    check_vma=False)
     return jax.jit(fn), mesh.devices.size

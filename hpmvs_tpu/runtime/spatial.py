@@ -112,7 +112,18 @@ class SpatialEngine(Engine):
     # ------------------------------------------------------------------
     # per-block image subsets
     # ------------------------------------------------------------------
-    def _occupied_octants(self) -> np.ndarray:
+    @property
+    def _oct_level(self) -> int:
+        """Octant grid for the occupancy x frustum intersection: finer than
+        the block grid (a ground capture occupies a thin z-slab; at block
+        granularity the one-octant dilation marks everything occupied and
+        every camera cone grazing a block's EMPTY volume still charges its
+        slab -- measured 25 -> ~10 cameras/block on the ring scene from
+        this refinement alone). +2 levels = 64x finer cells; capped so the
+        host test stays ~10^4 octants."""
+        return min(self.block_level + 2, 4)
+
+    def _occupied_octants(self, L: int = None) -> np.ndarray:
         """(8^L,) bool: level-L octants occupied by cells (or SfM points
         pre-tree), dilated by one octant in every direction -- extends can
         step one cell width beyond the occupied frontier. Cameras of
@@ -120,7 +131,7 @@ class SpatialEngine(Engine):
         from the slabs (the saving that makes subsets worthwhile on
         spatially extended captures)."""
         from hpmvs_tpu.core.octree import morton_encode
-        L = self.block_level
+        L = self.block_level if L is None else L
         g = 1 << L
         t = self._btree()
         if self.tree is not None and self.tree.n:
@@ -199,23 +210,20 @@ class SpatialEngine(Engine):
         rebuild is an O(shards x rows) host copy + device_put (r3 advisory).
         The decision itself is agreed across processes (_agree_rebuild)."""
         t = self._btree()
-        occ_oct = self._occupied_octants()
+        occ_oct = self._occupied_octants(self._oct_level)
         from hpmvs_tpu.parallel import subsets
         imgs = self.scene.ctx.imgs
         w0 = np.asarray(imgs.width)[:, 0]
         h0 = np.asarray(imgs.height)[:, 0]
         near, far = subsets.camera_depth_bounds(self.scene.ctx.cams,
                                                 self.model)
+        # frustum x occupancy intersected at the FINE octant grid: a block
+        # only charges a camera if the camera sees an octant that actually
+        # holds reconstruction (empty volume in a block no longer counts)
         bmask = subsets.assign_images_to_blocks(
             self.scene.ctx.cams, w0, h0, np.asarray(t.center),
-            t.width, self.n_blocks, self.block_level, near=near, far=far)
-        # blocks with no occupied octant carry no cameras at all
-        L3 = 3 * self.block_level
-        oct_block = (np.arange(8 ** self.block_level, dtype=np.int64)
-                     * self.n_blocks) >> L3
-        occ_block = np.zeros(self.n_blocks, bool)
-        np.logical_or.at(occ_block, oct_block, occ_oct)
-        bmask &= occ_block[:, None]
+            t.width, self.n_blocks, self.block_level, near=near, far=far,
+            oct_level=self._oct_level, occ_oct=occ_oct)
         # coverage invariant: every resident patch's views stay in its
         # block's slab even when the depth bounds would truncate them
         resident = self._resident_view_mask()
@@ -241,6 +249,13 @@ class SpatialEngine(Engine):
         total_rows = int(np.asarray(imgs.tex).shape[0])
         self.stats["subset_cams_max"] = int(mask.sum(1).max())
         self.stats["subset_cams_mean"] = float(mask.sum(1).mean())
+        # per-BLOCK exclusion (before the shard union): the saving a larger
+        # mesh realizes, since shard working sets shrink toward one block's
+        # as devices grow (pod-scale projection, SCALING.md section 4b)
+        occ_rows = bmask.any(1)
+        if occ_rows.any():
+            self.stats["subset_block_cams_mean"] = float(
+                bmask[occ_rows].sum(1).mean())
         self.stats["subset_rows_per_block"] = int(host.tex.shape[1])
         self.stats["subset_rows_replicated"] = total_rows
         self.stats["subset_rebuilds"] += 1
@@ -251,9 +266,9 @@ class SpatialEngine(Engine):
             host.tex.shape[1], total_rows,
             100.0 * host.tex.shape[1] / max(total_rows, 1))
 
-    def _sharded_gate_call(self, args, pargs):
+    def _sharded_gate_call(self, xin, pend):
         if not self.image_subsets or self._btree() is None:
-            return super()._sharded_gate_call(args, pargs)
+            return super()._sharded_gate_call(xin, pend)
         self._ensure_subsets()
         if self._subset_gate_fn is None:
             from hpmvs_tpu.parallel import subsets
@@ -262,7 +277,8 @@ class SpatialEngine(Engine):
                     self.mesh, self.scene.ctx, self.opt, self.pack,
                     self.scene.n_cameras)
         bp = self._bpack_dev
-        return self._subset_gate_fn(*args, self.pack.depth, *pargs,
+        return self._subset_gate_fn(xin, self._dev_repl(self.pack.depth),
+                                    self._dev_repl(pend),
                                     bp.tex, bp.texb, bp.row0, bp.width,
                                     bp.height)
 
@@ -320,6 +336,37 @@ class SpatialEngine(Engine):
         return np.minimum((cum - counts / 2.0) * n_shards // total,
                           n_shards - 1).astype(np.int64)
 
+    def _xy_order(self) -> np.ndarray:
+        """Blocks ordered by the 2D Morton key of their centroid ground
+        (xy) position. Contiguous quantile cuts along this order give each
+        shard an xy-compact COLUMN of blocks: surface captures occupy a
+        thin z-slab, so 3D-Morton-contiguous cuts spend shard locality on
+        the z dimension and the per-shard camera unions span most of the
+        ground plane (measured 51/60 cameras per shard on the ring scene;
+        xy columns keep the union to the cameras within one column's
+        footprint + view reach)."""
+        if getattr(self, "_xy_order_cache", None) is not None:
+            return self._xy_order_cache
+        from hpmvs_tpu.core.octree import morton_encode
+        L = self.block_level
+        g = 1 << L
+        idx = np.arange(g)
+        ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
+        keys = morton_encode(ii.ravel().astype(np.uint64),
+                             jj.ravel().astype(np.uint64),
+                             kk.ravel().astype(np.uint64)).astype(np.int64)
+        blk = (keys * self.n_blocks) >> (3 * L)
+        cx = np.zeros(self.n_blocks)
+        cy = np.zeros(self.n_blocks)
+        cnt = np.bincount(blk, minlength=self.n_blocks).astype(np.float64)
+        np.add.at(cx, blk, ii.ravel())
+        np.add.at(cy, blk, jj.ravel())
+        cx = (cx / np.maximum(cnt, 1)).astype(np.uint64)
+        cy = (cy / np.maximum(cnt, 1)).astype(np.uint64)
+        k2 = morton_encode(cx, cy, np.zeros(self.n_blocks, np.uint64))
+        self._xy_order_cache = np.argsort(k2, kind="stable")
+        return self._xy_order_cache
+
     def _update_assignment(self, counts: np.ndarray):
         """Re-bin blocks onto shards for this round's work distribution.
 
@@ -338,11 +385,15 @@ class SpatialEngine(Engine):
             if bal >= self.opt.REBALANCE_BELOW:
                 return
         if self.image_subsets:
-            # contiguous quantile cuts along the Morton order: balances the
-            # load while keeping each shard's blocks spatially coherent --
-            # an LPT scatter would union far-apart blocks' cameras and
+            # contiguous quantile cuts along the 2D-xy Morton order:
+            # balances the load while keeping each shard's blocks an
+            # xy-compact column -- an LPT scatter (or 3D-Morton cuts, which
+            # split z first) would union far-apart blocks' cameras and
             # erase the slab saving
-            new = self._quantile_assign(counts, self.n_shards)
+            order = self._xy_order()
+            sub = self._quantile_assign(counts[order], self.n_shards)
+            new = np.empty_like(self.block_shard)
+            new[order] = sub
         else:
             new = self._lpt_assign(counts, self.n_shards)
         if np.array_equal(new, self.block_shard):
@@ -427,6 +478,7 @@ class SpatialEngine(Engine):
         got = self._fetch(devs)
         self.stats["t_device"] += time.time() - t0
         for res, (idx, pm) in zip(got, metas):
+            res = self._unpack_gate_out(np.asarray(res))
             for j in range(n_out):
                 if outs[j] is None:
                     outs[j] = np.empty((N,) + res[j].shape[1:], res[j].dtype)

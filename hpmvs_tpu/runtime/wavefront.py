@@ -368,10 +368,11 @@ class Engine:
         return 1
 
     def _take_pending(self):
-        """Pending depth updates as padded (c, s, v, phase) arrays for the
-        fused extend dispatch, or None when nothing is pending. Owned
-        multi-host: windows from ALL processes merge here (the z-buffer is
-        globally shared state), so participation must be global."""
+        """Pending depth updates as ONE packed (Pb, 5+K) f32 buffer for the
+        fused extend dispatch (ops/optimizer.py packed-dispatch layout), or
+        None when nothing is pending. Owned multi-host: windows from ALL
+        processes merge here (the z-buffer is globally shared state), so
+        participation must be global."""
         if self._count_global(len(self._pend)) == 0:
             return None
         if self._count_global(sum(len(e[1]) for e in self._pend)) \
@@ -383,7 +384,15 @@ class Engine:
         # coarse bucket ladder: every distinct (batch, pend) shape combo is
         # a separate XLA executable (compile + per-process cache load)
         b = _bucket(len(s), lo=512)
-        return self._pend_pad(c, s, v, ph, b)
+        n = len(s)
+        K = self.opt.MAX_VIEWS
+        buf = np.zeros((b, 5 + K), np.float32)
+        buf[:, 5:] = np.full((1, K), -1, np.int32).view(np.float32)
+        buf[:n, 0:3] = c
+        buf[:n, 3] = s
+        buf[:n, 4] = np.ascontiguousarray(ph, np.int32).view(np.float32)
+        buf[:n, 5:] = np.ascontiguousarray(v, np.int32).view(np.float32)
+        return buf
 
     def _extend_compute(self, centers, normals, scales, views, parent_c,
                         widths):
@@ -408,56 +417,80 @@ class Engine:
             got = self._fetch(devs)
             self.stats["t_device"] += time.time() - t0
             self.stats["patches_optimized"] += n
-            return tuple(np.concatenate([np.array(g[j])[:m]
-                                         for g, m in zip(got, lens)])
+            outs = [self._unpack_gate_out(np.array(g)[:m])
+                    for g, m in zip(got, lens)]
+            return tuple(np.concatenate([o[j] for o in outs])
                          for j in range(6))
         res = self._call_extend(*self._pad_chunk(
             (centers, normals, scales, views, parent_c, widths), fills, n))
         self.stats["patches_optimized"] += n
         return tuple(x[:n] for x in res)
 
+    def _pack_gate_in(self, centers, normals, scales, views, parent_c,
+                      widths):
+        """Pack the 6 already-padded batch arrays into ONE (B, 11+K) f32
+        buffer (views bitcast): one transfer per dispatch instead of six
+        (ops/optimizer.py packed-dispatch note)."""
+        B = len(scales)
+        K = views.shape[1]
+        buf = np.empty((B, 11 + K), np.float32)
+        buf[:, 0:3] = centers
+        buf[:, 3:6] = normals
+        buf[:, 6] = scales
+        buf[:, 7:10] = parent_c
+        buf[:, 10] = widths
+        buf[:, 11:] = np.ascontiguousarray(views, np.int32).view(np.float32)
+        return buf
+
+    @staticmethod
+    def _unpack_gate_out(arr):
+        """Packed (B, 11+K) f32 output -> (oc, on, os, ov, ok, col) numpy."""
+        arr = np.asarray(arr)
+        ov = np.ascontiguousarray(arr[:, 11:]).view(np.int32)
+        return (arr[:, 0:3], arr[:, 3:6], arr[:, 6], ov,
+                arr[:, 10] > 0.5, arr[:, 7:10])
+
     def _dispatch_extend(self, centers, normals, scales, views, parent_c,
                          widths):
         """Enqueue the fused optimize+gate dispatch on an already padded
-        batch; returns DEVICE arrays without blocking. Deferred depth adds
-        ride along (pend_*) and the updated z-buffer stays on-device --
-        ONE dispatch for optimize + gates + setDepths."""
+        batch; returns the packed DEVICE output array without blocking
+        (unpack with _unpack_gate_out after fetch). Deferred depth adds
+        ride along (packed pend buffer) and the updated z-buffer stays
+        on-device -- ONE dispatch for optimize + gates + setDepths, one
+        H2D transfer for the batch and one D2H for the results."""
         pend = self._take_pending()
-        args = (self._dev_batch(centers), self._dev_batch(normals),
-                self._dev_batch(scales), self._dev_batch(views),
-                self._dev_batch(parent_c), self._dev_batch(widths))
+        xin = self._dev_batch(self._pack_gate_in(
+            centers, normals, scales, views, parent_c, widths))
         if pend is not None:
-            pargs = tuple(self._dev_repl(p) for p in pend)
+            p = self._dev_repl(pend)
             if self.mesh is not None:
-                res = self._sharded_gate_call(args, pargs)
+                out, depth = self._sharded_gate_call(xin, p)
             else:
-                res = popt.optimize_and_gate(
+                out, depth = popt.optimize_and_gate_packed(
                     self.scene.ctx, self.pack, self.opt,
-                    self.scene.n_cameras, *args, *pargs)
-            self.pack = self.pack._replace(depth=res[6])
-            res = res[:6]
+                    self.scene.n_cameras, xin, p)
+            self.pack = self.pack._replace(depth=depth)
         else:
             if self.mesh is not None:
-                res = self._sharded_gate_call(args, self._empty_pending())[:6]
+                out, _ = self._sharded_gate_call(xin, self._empty_pending())
             else:
-                res = popt.optimize_and_gate(
+                out = popt.optimize_and_gate_packed(
                     self.scene.ctx, self.pack, self.opt,
-                    self.scene.n_cameras, *args)
+                    self.scene.n_cameras, xin)
         self.stats["dispatches"] += 1
         self.stats["disp_extend"] += 1
-        return res
+        return out
 
-    def _sharded_gate_call(self, args, pargs):
+    def _sharded_gate_call(self, xin, pend):
         """Mesh-path fused extend dispatch (SpatialEngine overrides to use
-        the per-block image-subset variant). Returns 7 outputs, depth
-        last."""
+        the per-block image-subset variant). Returns (packed_out, depth)."""
         if self._sharded_gate_fn is None:
             from hpmvs_tpu.parallel import mesh as pmesh
-            self._sharded_gate_fn, _ = pmesh.sharded_optimize_and_gate(
+            self._sharded_gate_fn, _ = pmesh.sharded_optimize_and_gate_packed(
                 self.mesh, self.scene.ctx, self.opt, self.pack,
                 self.scene.n_cameras)
-        return self._sharded_gate_fn(*args, self._dev_repl(self.pack.depth),
-                                     *(self._dev_repl(p) for p in pargs))
+        return self._sharded_gate_fn(xin, self._dev_repl(self.pack.depth),
+                                     self._dev_repl(pend))
 
     def _call_extend(self, centers, normals, scales, views, parent_c,
                      widths):
@@ -468,14 +501,17 @@ class Engine:
         res = self._fetch(self._dispatch_extend(
             centers, normals, scales, views, parent_c, widths))
         self.stats["t_device"] += time.time() - t0
-        return tuple(np.array(x) for x in res)
+        return tuple(np.array(x) for x in self._unpack_gate_out(res))
 
     def _empty_pending(self):
-        """All-invalid pend_* block (the sharded gate fn has one signature)."""
-        b = 128
-        return (jnp.zeros((b, 3), jnp.float32), jnp.zeros((b,), jnp.float32),
-                jnp.full((b, self.opt.MAX_VIEWS), -1, jnp.int32),
-                jnp.zeros((b,), jnp.int32))
+        """All-invalid packed pend block (the sharded gate fn has one
+        signature)."""
+        if getattr(self, "_empty_pend_cache", None) is None:
+            K = self.opt.MAX_VIEWS
+            buf = np.zeros((128, 5 + K), np.float32)
+            buf[:, 5:] = np.full((1, K), -1, np.int32).view(np.float32)
+            self._empty_pend_cache = buf
+        return self._empty_pend_cache
 
     @staticmethod
     def _tangent_axes(normals: np.ndarray, cam_x: np.ndarray):
@@ -772,7 +808,7 @@ class Engine:
             t1 = time.time()
             got = self._fetch(dev)
             self.stats["t_device"] += time.time() - t1
-            yield a, b, tuple(np.array(x)[:b - a] for x in got)
+            yield a, b, self._unpack_gate_out(np.array(got)[:b - a])
 
     def _route_extend(self, oc, on, os_, ov, ok, col, lv_t, prio_red,
                       src_cids) -> int:
