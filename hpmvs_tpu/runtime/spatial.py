@@ -108,6 +108,9 @@ class SpatialEngine(Engine):
         self._bpack_dev = None
         self._bpack_key = None
         self._subset_gate_fn = None
+        self._bmask_key = None
+        self._bmask_cache = None
+        self._depth_bounds = None
 
     # ------------------------------------------------------------------
     # per-block image subsets
@@ -213,17 +216,26 @@ class SpatialEngine(Engine):
         occ_oct = self._occupied_octants(self._oct_level)
         from hpmvs_tpu.parallel import subsets
         imgs = self.scene.ctx.imgs
-        w0 = np.asarray(imgs.width)[:, 0]
-        h0 = np.asarray(imgs.height)[:, 0]
-        near, far = subsets.camera_depth_bounds(self.scene.ctx.cams,
-                                                self.model)
-        # frustum x occupancy intersected at the FINE octant grid: a block
-        # only charges a camera if the camera sees an octant that actually
-        # holds reconstruction (empty volume in a block no longer counts)
-        bmask = subsets.assign_images_to_blocks(
-            self.scene.ctx.cams, w0, h0, np.asarray(t.center),
-            t.width, self.n_blocks, self.block_level, near=near, far=far,
-            oct_level=self._oct_level, occ_oct=occ_oct)
+        # the fine-grid frustum x occupancy test is the expensive host part
+        # (8^oct_level octants x ncam projective tests) and _ensure_subsets
+        # runs per dispatch: cache it on (cube geometry, occupancy bitmap)
+        bm_key = (tuple(t.center), t.width, occ_oct.tobytes())
+        if getattr(self, "_bmask_key", None) != bm_key:
+            w0 = np.asarray(imgs.width)[:, 0]
+            h0 = np.asarray(imgs.height)[:, 0]
+            if getattr(self, "_depth_bounds", None) is None:
+                self._depth_bounds = subsets.camera_depth_bounds(
+                    self.scene.ctx.cams, self.model)
+            near, far = self._depth_bounds
+            # frustum x occupancy intersected at the FINE octant grid: a
+            # block only charges a camera if the camera sees an octant that
+            # actually holds reconstruction (empty volume no longer counts)
+            self._bmask_cache = subsets.assign_images_to_blocks(
+                self.scene.ctx.cams, w0, h0, np.asarray(t.center),
+                t.width, self.n_blocks, self.block_level, near=near,
+                far=far, oct_level=self._oct_level, occ_oct=occ_oct)
+            self._bmask_key = bm_key
+        bmask = self._bmask_cache.copy()
         # coverage invariant: every resident patch's views stay in its
         # block's slab even when the depth bounds would truncate them
         resident = self._resident_view_mask()
@@ -237,7 +249,26 @@ class SpatialEngine(Engine):
         local_rows = subsets.slab_rows(np.asarray(imgs.height), mask)
         key = (tuple(t.center), t.width,
                mask[self._shard_local_mask()].tobytes(), local_rows)
-        needed = self._bpack_dev is None or self._bpack_key != key
+        if self._bpack_dev is None or self._bpack_key is None:
+            needed = True
+        elif self._bpack_key == key:
+            needed = False
+        else:
+            # the committed slabs may serve a DIFFERENT (superset) mask:
+            # rebuild only when correctness demands it (a camera the mask
+            # now needs is missing from the committed slab, or the cube
+            # moved) or when the economy is material (>=20% rows saved);
+            # otherwise keep serving from the superset -- growth-phase
+            # unions change nearly every wavefront and each rebuild is an
+            # O(shards x rows) host copy + device commit
+            same_geom = (self._bpack_key[0] == tuple(t.center)
+                         and self._bpack_key[1] == t.width)
+            committed = np.frombuffer(self._bpack_key[2], bool).reshape(
+                mask[self._shard_local_mask()].shape)
+            grew = bool((mask[self._shard_local_mask()] & ~committed).any())
+            rows_committed = int(self._bpack_key[3])
+            needed = ((not same_geom) or grew
+                      or local_rows < 0.8 * rows_committed)
         if not self._agree_rebuild(needed):
             return
         host = subsets.build_block_packs(
@@ -378,11 +409,12 @@ class SpatialEngine(Engine):
         total = int(counts.sum())
         if total == 0:
             return
+        cur_bal = 0.0
         if self.image_subsets and self._bpack_dev is not None:
             cur = np.bincount(self.block_shard, weights=counts,
                               minlength=self.n_shards)
-            bal = total / max(self.n_shards * cur.max(), 1)
-            if bal >= self.opt.REBALANCE_BELOW:
+            cur_bal = total / max(self.n_shards * cur.max(), 1)
+            if cur_bal >= self.opt.REBALANCE_BELOW:
                 return
         if self.image_subsets:
             # contiguous quantile cuts along the 2D-xy Morton order:
@@ -398,6 +430,17 @@ class SpatialEngine(Engine):
             new = self._lpt_assign(counts, self.n_shards)
         if np.array_equal(new, self.block_shard):
             return
+        if self.image_subsets and self._bpack_dev is not None:
+            # churn guard: a rebalance invalidates the committed slabs (one
+            # O(shards x rows) host rebuild + device_put); when the wavefront
+            # sits chronically below REBALANCE_BELOW -- quantile cuts cannot
+            # always reach it on a clustered front -- only pay for a
+            # MATERIAL improvement, not for oscillation
+            new_load = np.bincount(new, weights=counts,
+                                   minlength=self.n_shards)
+            new_bal = total / max(self.n_shards * new_load.max(), 1)
+            if new_bal < cur_bal + 0.05:
+                return
         self.block_shard = new
         self.stats["rebalances"] += 1
         if self.image_subsets:
