@@ -110,6 +110,8 @@ def main():
             "disp_extend": int(eng.stats["disp_extend"]),
             "disp_optimize": int(eng.stats["disp_optimize"]),
             "disp_flush": int(eng.stats["disp_flush"]),
+            "lookahead_hits": int(eng.stats["lookahead_hits"]),
+            "lookahead_misses": int(eng.stats["lookahead_misses"]),
             "host_fraction": round(
                 max(e2e_dt - float(eng.stats["t_device"]), 0.0)
                 / max(e2e_dt, 1e-9), 4),

@@ -116,6 +116,16 @@ class Options:
                                # closer to the reference's fully sequential
                                # setDepths interleaving (SURVEY.md section 7
                                # 'depth-buffer freshness'); 1 = one batch
+    WAVE_LOOKAHEAD: bool = True  # single-tree engine: speculatively dispatch
+                               # wave N+1's extend batch (membership is a
+                               # deterministic function of wave N's fetched
+                               # gate output + the current tree) BEFORE
+                               # routing wave N, so host routing overlaps
+                               # device compute + RPC latency. Costs one
+                               # EXTEND_SUBROUNDS-style depth-freshness step
+                               # (deferred adds ride one dispatch later);
+                               # the reference's unlocked depth reads accept
+                               # the same imprecision (Scene.cpp:565)
     DTYPE: str = "float32"
     BLOCK_OVERSUB: int = 8     # spatial mode: Morton blocks per device; the
                                # active blocks are greedily bin-packed onto

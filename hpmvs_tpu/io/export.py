@@ -54,9 +54,15 @@ def save_as_nvm(engine, folder: str) -> str:
                       yas[ci] / np.linalg.norm(yas[ci]),
                       zas[ci] / np.linalg.norm(zas[ci])])
         rq = _rot_to_quat(R)
-        f = float(P0[ci][0, 0] if abs(P0[ci][0, 0]) > 0 else 1.0)
-        # recover focal from K row norms like the reference (kMat_[0](0,0))
-        f = float(np.linalg.norm(P0[ci][0, :3]))
+        # recover the NVM focal (kMat_[0](0,0)) from P = K[R|t]: with
+        # K = [f 0 cx; 0 f cy; 0 0 1], row0 = f*R0 + cx*R2 and row2 = R2,
+        # so |row0 x row2| = f exactly (the raw row norm would smuggle the
+        # principal-point term sqrt(f^2+cx^2) into the focal and inflate it
+        # again on re-read through build_cameras)
+        r2 = P0[ci][2, :3].astype(np.float64)
+        r2 /= np.linalg.norm(r2)
+        f = float(np.linalg.norm(np.cross(P0[ci][0, :3].astype(np.float64),
+                                          r2)))
         nvm_cams.append(nvm_io.NvmCamera(filename=name, f=f, rq=rq,
                                          c=centers[ci].astype(np.float64),
                                          r=0.0))

@@ -564,6 +564,13 @@ class SpatialEngine(Engine):
         self.stats["patches_optimized"] += centers.shape[0]
         return res
 
+    def _lookahead_ok(self) -> bool:
+        """No wave lookahead in spatial mode: the block-major fused rounds
+        (and, owned, other processes' routing + halo arrivals) make
+        next-wave membership non-local, and _blockwise already pipelines
+        its per-round dispatches."""
+        return False
+
     def _extend_stream(self, centers, normals, scales, views, parent_c,
                        widths):
         """Block-major layout needs all rounds gathered before the original

@@ -85,6 +85,8 @@ class Engine:
         # deferred setDepths adds, folded into the next fused extend
         # dispatch (optimize_and_gate pend_*) instead of their own dispatch
         self._pend: List[tuple] = []  # (pids, is_subtract) windows
+        # outstanding wave-lookahead speculation (_speculate_next)
+        self._spec = None
         self.stats = defaultdict(int)
         self.on_patch_event: Optional[Callable] = None
         import jax
@@ -726,8 +728,18 @@ class Engine:
 
     def _extend_cells_batch(self, cids: np.ndarray):
         opt = self.opt
-        N = opt.EXTEND_DIRS
         pids = self.cell_head[cids]
+        spec = self._spec
+        self._spec = None
+        if spec is not None:
+            if self._spec_matches(spec, pids):
+                self.stats["lookahead_hits"] += 1
+                self._extend_finish_from(spec, cids, pids)
+                return
+            # speculation missed: its depth-pend side effects were real and
+            # already threaded into self.pack (always correct); only the
+            # gate output is dropped. Fall through to a fresh dispatch.
+            self.stats["lookahead_misses"] += 1
         centers = self.patches.center[pids]
         normals = self.patches.normal[pids]
         views = self.patches.views[pids]
@@ -735,6 +747,56 @@ class Engine:
         _, widths = self.tree.cell_center_width(cids)
         levels = self.tree.node_level(cids)
 
+        (c_in, n_in, s_in, v_in, p_in, w_in, src_sel, lv_lanes,
+         pr_lanes) = self._extend_candidates(centers, normals, views,
+                                             prio_red, widths, levels)
+        self.stats["extend_candidates"] += len(c_in)
+        if self._count_global(len(c_in)) == 0:
+            self._finish_extend(cids, pids, levels, prio_red)
+            return
+
+        cap = max(opt.BATCH, 16)
+        if (opt.WAVE_LOOKAHEAD and opt.EXTEND_SUBROUNDS <= 1
+                and len(c_in) <= cap and self._lookahead_ok()):
+            # single-dispatch wave: fetch, speculate wave N+1, then route
+            fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
+            t0 = time.time()
+            dev = self._dispatch_extend(*self._pad_chunk(
+                (c_in, n_in, s_in, v_in, p_in, w_in), fills, len(c_in)))
+            self.stats["patches_optimized"] += len(c_in)
+            got = self._fetch(dev)
+            self.stats["t_device"] += time.time() - t0
+            out = self._unpack_gate_out(np.array(got)[:len(c_in)])
+            self._speculate_next(out, lv_lanes, pr_lanes)
+            n_ins = self._route_extend(*out, lv_lanes, pr_lanes,
+                                       cids[src_sel])
+            self._commit_spec()
+            self.stats["extended"] += n_ins
+            self._finish_extend(cids, pids, levels, prio_red)
+            return
+
+        n_ins = 0
+        for a, b, (oc, on, os_, ov, okk, col) in self._extend_stream(
+                c_in, n_in, s_in, v_in, p_in, w_in):
+            # routing chunk i overlaps chunks i+1..'s device compute; the
+            # insert-time occupancy re-check keeps first-wins order
+            # identical to whole-batch routing
+            n_ins += self._route_extend(oc, on, os_, ov, okk, col,
+                                        lv_lanes[a:b], pr_lanes[a:b],
+                                        cids[src_sel[a:b]])
+        self.stats["extended"] += n_ins
+
+        self._finish_extend(cids, pids, levels, prio_red)
+
+    def _extend_candidates(self, centers, normals, views, prio_red, widths,
+                           levels):
+        """Tangent-disc extend candidates for a batch of parent patches with
+        the occupancy/level economy pre-check (CellProcessor.cpp:98-133:
+        skip occupied/finer targets; outside-root candidates are dropped --
+        single-tree border semantics, the halo-exchange hook for sharding).
+        Returns per-lane dispatch inputs + the parent index of each lane."""
+        opt = self.opt
+        N = opt.EXTEND_DIRS
         cam_x = self.cam_xaxis_np[np.maximum(views[:, 0], 0)]
         xax, yax = self._tangent_axes(normals, cam_x)
 
@@ -745,42 +807,131 @@ class Engine:
                   + (dx[None, :, None] * xax[:, None, :]
                      + dy[None, :, None] * yax[:, None, :])
                   * widths[:, None, None])
-        B = len(cids)
+        B = len(centers)
         cand_c = cand_c.reshape(B * N, 3).astype(np.float32)
         src = np.repeat(np.arange(B), N)
 
         inside = self.tree.contains(cand_c)
         occupied = self.tree.containing_cell(cand_c) >= 0
         finer = self.tree.structure_level(cand_c) > levels[src]
-        # skip occupied/finer targets; outside-root candidates are dropped
-        # (single-tree border semantics; the halo-exchange hook for sharding)
         todo = inside & ~occupied & ~finer
-        self.stats["extend_candidates"] += int(todo.sum())
-        if self._count_global(int(todo.sum())) == 0:
-            self._finish_extend(cids, pids, levels, prio_red)
-            return
-
         sel = np.nonzero(todo)[0]
-        c_in = cand_c[sel]
-        n_in = normals[src[sel]]
-        s_in = (widths[src[sel]] * opt.EXTEND_SCALE / 2.0).astype(np.float32)
-        v_in = views[src[sel]]
+        seg = src[sel]
+        return (cand_c[sel], normals[seg],
+                (widths[seg] * opt.EXTEND_SCALE / 2.0).astype(np.float32),
+                views[seg], centers[seg].astype(np.float32),
+                widths[seg].astype(np.float32), seg, levels[seg],
+                prio_red[seg])
 
-        w_src = widths[src[sel]].astype(np.float32)
-        n_ins = 0
-        for a, b, (oc, on, os_, ov, okk, col) in self._extend_stream(
-                c_in, n_in, s_in, v_in,
-                centers[src[sel]].astype(np.float32), w_src):
-            seg = src[sel[a:b]]
-            # routing chunk i overlaps chunks i+1..'s device compute; the
-            # insert-time occupancy re-check keeps first-wins order
-            # identical to whole-batch routing
-            n_ins += self._route_extend(oc, on, os_, ov, okk, col,
-                                        levels[seg], prio_red[seg],
-                                        cids[seg])
+    def _lookahead_ok(self) -> bool:
+        """Wave lookahead runs in the single-controller engines only: with
+        multi-controller replicated state every process would speculate
+        identically, but the owned/spatial engines (which override this off)
+        are the supported multi-process path."""
+        return not self._mp
+
+    @staticmethod
+    def _spec_matches(spec, pids) -> bool:
+        return spec["par_pids"] is not None \
+            and len(pids) == len(spec["par_pids"]) \
+            and np.array_equal(spec["par_pids"], pids)
+
+    def _commit_spec(self):
+        """Bind the speculation to the router's actual alloc: the simulated
+        winners and the routed winners are the same deterministic set, so
+        the freshly inserted pids ARE the speculated parents (in order).
+        A count mismatch (never expected) voids the speculation."""
+        spec = self._spec
+        if spec is None:
+            return
+        pids = getattr(self, "_last_inserted", None)
+        if pids is None or len(pids) != spec["n_par"]:
+            self._spec = None
+            return
+        spec["par_pids"] = np.asarray(pids).copy()
+
+    def _extend_finish_from(self, spec, cids, pids):
+        """Consume a speculative extend dispatch whose predicted wave
+        membership matched the popped wave exactly."""
+        n = spec["n"]
+        t0 = time.time()
+        got = self._fetch(spec["dev"])
+        self.stats["t_device"] += time.time() - t0
+        out = self._unpack_gate_out(np.array(got)[:n])
+        # re-apply the economy pre-check FRESH (the dispatch used a one-wave
+        # stale tree, so a superset of lanes ran): masking the now
+        # occupied/finer candidate targets out of ok before routing makes
+        # the routed lane set identical to what a non-speculative wave
+        # would have dispatched -- the only remaining lookahead divergence
+        # is the one-dispatch depth-add deferral
+        cand = spec["cand_c"]
+        lv = spec["lv_lanes"]
+        fresh = (self.tree.contains(cand)
+                 & (self.tree.containing_cell(cand) < 0)
+                 & (self.tree.structure_level(cand) <= lv))
+        self.stats["extend_candidates"] += int(fresh.sum())
+        oc, on, os_, ov, ok, col = out
+        out = (oc, on, os_, ov, ok & fresh, col)
+        self._speculate_next(out, spec["lv_lanes"], spec["pr_lanes"])
+        n_ins = self._route_extend(*out, spec["lv_lanes"], spec["pr_lanes"],
+                                   cids[spec["src_sel"]])
+        self._commit_spec()
         self.stats["extended"] += n_ins
+        self._finish_extend(cids, pids, spec["levels"], spec["prio_red"])
 
-        self._finish_extend(cids, pids, levels, prio_red)
+    def _speculate_next(self, out, lv_lanes, pr_lanes):
+        """Wave-level lookahead (SCALING.md section 3 footnote 2): the next
+        extend wave at this pmin consists EXACTLY of the patches this wave's
+        routing is about to insert, and insertion is a deterministic
+        function of the fetched gate output + the current tree -- simulated
+        here with the router's own _insert_winners BEFORE routing mutates
+        anything. Dispatching those patches' extend batch now lets wave N's
+        host routing (and the per-dispatch RPC latency) overlap wave N+1's
+        device compute -- the reference gets the same overlap from separate
+        scheduler threads (main.cpp:150-154).
+
+        Semantics cost (documented divergence, WAVE_LOOKAHEAD to disable):
+        the speculative dispatch's depth/visibility gates read the z-buffer
+        WITHOUT wave N's deferred adds (they ride the following dispatch)
+        -- one more EXTEND_SUBROUNDS-style freshness step. The occupancy
+        pre-check at dispatch is one wave stale (a superset of lanes runs),
+        but _extend_finish_from re-applies it FRESH before routing, so the
+        routed lane set matches a non-speculative wave exactly."""
+        self._spec = None
+        opt = self.opt
+        if not (opt.WAVE_LOOKAHEAD and opt.EXTEND_SUBROUNDS <= 1
+                and self._lookahead_ok()):
+            return
+        oc, on, os_, ov, ok, col = out
+        ok2, _ = self._insert_winners(oc, ok, lv_lanes)
+        acc = np.nonzero(ok2)[0]
+        if len(acc) == 0:
+            return
+        par_c = np.ascontiguousarray(oc[acc], np.float32)
+        par_n = np.ascontiguousarray(on[acc], np.float32)
+        par_v = np.ascontiguousarray(ov[acc])
+        lv_a = lv_lanes[acc]
+        pr_a = pr_lanes[acc]
+        widths = self.tree.width / (2.0 ** lv_a.astype(np.float64))
+        (c_in, n_in, s_in, v_in, p_in, w_in, src_sel, lv2,
+         pr2) = self._extend_candidates(par_c, par_n, par_v, pr_a, widths,
+                                        lv_a)
+        cap = max(opt.BATCH, 16)
+        if len(c_in) == 0 or len(c_in) > cap:
+            return
+        fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
+        t0 = time.time()
+        dev = self._dispatch_extend(*self._pad_chunk(
+            (c_in, n_in, s_in, v_in, p_in, w_in), fills, len(c_in)))
+        self.stats["patches_optimized"] += len(c_in)
+        self.stats["t_device"] += time.time() - t0
+        # predicted pids: the router allocs deterministically in acc order;
+        # recorded AFTER routing by _commit_spec (the next wave's pop is
+        # compared against them)
+        self._spec = {"dev": dev, "n": len(c_in), "src_sel": src_sel,
+                      "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
+                      "levels": lv_a, "prio_red": pr_a, "n_par": len(acc),
+                      "par_pids": None}
 
     def _extend_stream(self, centers, normals, scales, views, parent_c,
                        widths):
@@ -820,19 +971,14 @@ class Engine:
         return self._insert_new_patches(oc, on, os_, ov, ok, col, lv_t,
                                         prio_red)
 
-    def _insert_new_patches(self, oc, on, os_, ov, ok, col, lv_t, prio_red,
-                            flatness: float = -1.0,
-                            dirty: bool = False) -> int:
-        """addConditional + insertion of new gated patches (extend results or
-        migrated border arrivals): the target leaf must be inside the root,
-        empty and not finer (doctree.h:396-419), with a deterministic
-        first-wins dedup within the batch standing in for the reference's
-        sequential arrival order. Accepted patches alloc a cell + patch row,
-        scatter into the depth buffers and queue at (level+prio_red)*10."""
-        # addConditional at the *optimized* position (CellProcessor.cpp:154)
+    def _insert_winners(self, oc, ok, lv_t):
+        """The deterministic insertability decision of _insert_new_patches
+        (addConditional re-checks + first-wins in-batch dedup), factored out
+        so wave lookahead can SIMULATE the router's acceptances exactly
+        against the same tree state. Returns (ok_mask, keys)."""
         ok = ok & self.tree.contains(oc)
-        ok &= self.tree.containing_cell(oc) < 0
-        ok &= self.tree.structure_level(oc) <= lv_t
+        ok = ok & (self.tree.containing_cell(oc) < 0)
+        ok = ok & (self.tree.structure_level(oc) <= lv_t)
         keys = np.zeros(len(oc), np.uint64)
         idx_ok = np.nonzero(ok)[0]
         if len(idx_ok):
@@ -843,10 +989,23 @@ class Engine:
             _, first_idx = np.unique(pair, axis=1, return_index=True)
             winner = np.zeros(len(oc), bool)
             winner[idx_ok[first_idx]] = True
-            ok &= winner
+            ok = ok & winner
+        return ok, keys
 
+    def _insert_new_patches(self, oc, on, os_, ov, ok, col, lv_t, prio_red,
+                            flatness: float = -1.0,
+                            dirty: bool = False) -> int:
+        """addConditional + insertion of new gated patches (extend results or
+        migrated border arrivals): the target leaf must be inside the root,
+        empty and not finer (doctree.h:396-419), with a deterministic
+        first-wins dedup within the batch standing in for the reference's
+        sequential arrival order. Accepted patches alloc a cell + patch row,
+        scatter into the depth buffers and queue at (level+prio_red)*10."""
+        # addConditional at the *optimized* position (CellProcessor.cpp:154)
+        ok, keys = self._insert_winners(oc, ok, lv_t)
         acc = np.nonzero(ok)[0]
         if len(acc) == 0:
+            self._last_inserted = acc
             return 0
         lv_a = lv_t[acc]
         pr_a = prio_red[acc]
@@ -861,6 +1020,7 @@ class Engine:
         self.patches.expanded[new_pids] = False
         self.patches.prio_red[new_pids] = pr_a
         self.patches.dirty[new_pids] = dirty
+        self._last_inserted = new_pids
         self.insert_patches(new_pids, new_cids)
         self._set_depths(new_pids)
         self._push_many((lv_a.astype(np.int64) + pr_a) * 10, new_cids)

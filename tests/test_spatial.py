@@ -18,9 +18,13 @@ pytestmark = pytest.mark.slow  # e2e scene test; quick run: pytest -m 'not slow'
 
 
 def _opts(outdir):
+    # WAVE_LOOKAHEAD off: this suite isolates spatial-sharding parity, so
+    # the single-device leg must run the same depth-freshness semantics as
+    # the spatial engine (which never speculates); the lookahead's own
+    # parity is tested in test_lookahead.py
     return dataclasses.replace(Options(), START_LEVEL=2, MAXLEVEL=4,
                                OUTFOLDER=str(outdir), COVIS_MIN_POINTS=10,
-                               MAX_TREE_LEVEL=8)
+                               MAX_TREE_LEVEL=8, WAVE_LOOKAHEAD=False)
 
 
 @pytest.fixture(scope="module")
