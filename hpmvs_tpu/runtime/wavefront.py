@@ -855,6 +855,10 @@ class Engine:
         membership matched the popped wave exactly."""
         n = spec["n"]
         t0 = time.time()
+        # host work done between the speculative dispatch and this fetch ran
+        # UNDER an in-flight device dispatch: it is off the critical path
+        # (bench.py reports the residual as host_serial_fraction)
+        self.stats["t_host_overlapped"] += t0 - spec["t_dispatched"]
         got = self._fetch(spec["dev"])
         self.stats["t_device"] += time.time() - t0
         out = self._unpack_gate_out(np.array(got)[:n])
@@ -931,7 +935,7 @@ class Engine:
         self._spec = {"dev": dev, "n": len(c_in), "src_sel": src_sel,
                       "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
                       "levels": lv_a, "prio_red": pr_a, "n_par": len(acc),
-                      "par_pids": None}
+                      "par_pids": None, "t_dispatched": time.time()}
 
     def _extend_stream(self, centers, normals, scales, views, parent_c,
                        widths):
