@@ -121,11 +121,12 @@ class Options:
                                # deterministic function of wave N's fetched
                                # gate output + the current tree) BEFORE
                                # routing wave N, so host routing overlaps
-                               # device compute + RPC latency. Costs one
-                               # EXTEND_SUBROUNDS-style depth-freshness step
-                               # (deferred adds ride one dispatch later);
-                               # the reference's unlocked depth reads accept
-                               # the same imprecision (Scene.cpp:565)
+                               # device compute + RPC latency. Depth adds
+                               # are pre-staged from the simulated winners
+                               # (no z-buffer lag); only removal-phase
+                               # subtracts lag one dispatch -- within the
+                               # imprecision the reference's unlocked depth
+                               # reads accept (Scene.cpp:565)
     DTYPE: str = "float32"
     BLOCK_OVERSUB: int = 8     # spatial mode: Morton blocks per device; the
                                # active blocks are greedily bin-packed onto

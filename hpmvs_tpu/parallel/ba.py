@@ -635,6 +635,8 @@ def apply_dense_ba(engine, iters: int = 8, cg_iters: int = 40,
     from hpmvs_tpu.geom import camera as cam_ops
     from hpmvs_tpu.core import depth as depth_mod
     import jax.numpy as jnp
+    # any in-flight wave speculation captured pre-BA cameras/centers
+    engine.drop_speculation()
     engine.model = apply_cameras_to_model(engine.model, cam)
     widths = [int(w) for w in engine.scene.width_np[:, 0]]
     heights = [int(h) for h in engine.scene.height_np[:, 0]]

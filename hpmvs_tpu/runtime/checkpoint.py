@@ -76,6 +76,7 @@ def load_checkpoint(engine, path: str) -> None:
     feeding a single-store checkpoint to an owned run (or resuming with a
     different process count) raises instead of silently duplicating the
     cloud P-fold."""
+    engine.drop_speculation()
     opath = _owned_path(engine, path)
     if opath is not None:
         import os

@@ -682,13 +682,15 @@ class Engine:
             self._branch_cells(bra)
 
     # -- filter (CellProcessor::filter, :43-82) -------------------------
-    def _filter_cells(self, cids: np.ndarray):
-        """Keep the best-plane-support patch per multi-patch cell, batched
-        over all cells at once (padded member matrix)."""
+    def _filter_keepers(self, cids: np.ndarray):
+        """The filter's deterministic keeper decision (best mean signed
+        plane support), side-effect free so the branch-boundary lookahead
+        can simulate the next wave's post-filter heads. Returns
+        (keeper_pid_per_cell, losers)."""
         m, mask = self._members(cids)                   # (C, M)
         C, M = m.shape
         if M <= 1:
-            return
+            return m[:, 0], np.zeros((0,), np.int64)
         cs = self.patches.center[np.maximum(m, 0)]      # (C, M, 3)
         ns = self.patches.normal[np.maximum(m, 0)]
         ns = ns / np.maximum(np.linalg.norm(ns, axis=2, keepdims=True),
@@ -705,6 +707,12 @@ class Engine:
         best = np.argmin(dist, axis=1)
         keeper = m[np.arange(C), best]
         losers = m[mask & (np.arange(M)[None] != best[:, None])]
+        return keeper, losers
+
+    def _filter_cells(self, cids: np.ndarray):
+        """Keep the best-plane-support patch per multi-patch cell, batched
+        over all cells at once (padded member matrix)."""
+        keeper, losers = self._filter_keepers(cids)
         self.cell_head[cids] = keeper
         self.patches.nxt[keeper] = -1
         self.patches.cell[keeper] = cids
@@ -755,18 +763,14 @@ class Engine:
             self._finish_extend(cids, pids, levels, prio_red)
             return
 
-        cap = max(opt.BATCH, 16)
         if (opt.WAVE_LOOKAHEAD and opt.EXTEND_SUBROUNDS <= 1
-                and len(c_in) <= cap and self._lookahead_ok()):
-            # single-dispatch wave: fetch, speculate wave N+1, then route
-            fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
-            t0 = time.time()
-            dev = self._dispatch_extend(*self._pad_chunk(
-                (c_in, n_in, s_in, v_in, p_in, w_in), fills, len(c_in)))
-            self.stats["patches_optimized"] += len(c_in)
-            got = self._fetch(dev)
-            self.stats["t_device"] += time.time() - t0
-            out = self._unpack_gate_out(np.array(got)[:len(c_in)])
+                and self._lookahead_ok()):
+            # speculative-pipeline path: dispatch all chunks, fetch, then
+            # speculate wave N+1 BEFORE routing (whole-batch route; the
+            # in-batch first-wins dedup stands in for chunked ordering
+            # exactly as it stands in for the reference's sequential order)
+            devs = self._spec_dispatch(c_in, n_in, s_in, v_in, p_in, w_in)
+            out = self._fetch_spec_chunks(devs)
             self._speculate_next(out, lv_lanes, pr_lanes)
             n_ins = self._route_extend(*out, lv_lanes, pr_lanes,
                                        cids[src_sel])
@@ -830,11 +834,48 @@ class Engine:
         are the supported multi-process path."""
         return not self._mp
 
-    @staticmethod
-    def _spec_matches(spec, pids) -> bool:
+    def _spec_dispatch(self, c_in, n_in, s_in, v_in, p_in, w_in):
+        """Enqueue a wave's extend batch as bucketed chunk dispatches
+        WITHOUT blocking; returns [(dev, a, b), ...] for _fetch_spec_chunks."""
+        fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
+        cap = max(self.opt.BATCH, 16)
+        n = len(c_in)
+        t0 = time.time()
+        devs = []
+        for i in range(0, n, cap):
+            m = min(cap, n - i)
+            devs.append((self._dispatch_extend(*self._pad_chunk(
+                (c_in[i:i + cap], n_in[i:i + cap], s_in[i:i + cap],
+                 v_in[i:i + cap], p_in[i:i + cap], w_in[i:i + cap]),
+                fills, m)), i, i + m))
+        self.stats["patches_optimized"] += n
+        self.stats["t_device"] += time.time() - t0
+        return devs
+
+    def _fetch_spec_chunks(self, devs):
+        """Blocking fetch of _spec_dispatch chunks -> one unpacked wave."""
+        t0 = time.time()
+        outs = [np.array(self._fetch(dev))[:b - a] for dev, a, b in devs]
+        self.stats["t_device"] += time.time() - t0
+        return self._unpack_gate_out(
+            outs[0] if len(outs) == 1 else np.concatenate(outs))
+
+    def _spec_matches(self, spec, pids) -> bool:
+        # pids AND content: an external mutation between waves (dense BA
+        # moving centers, checkpoint restore) leaves pids equal but voids
+        # the speculated inputs -- drop_speculation() covers the known
+        # sites, the center comparison is the belt-and-braces
         return spec["par_pids"] is not None \
             and len(pids) == len(spec["par_pids"]) \
-            and np.array_equal(spec["par_pids"], pids)
+            and np.array_equal(spec["par_pids"], pids) \
+            and np.array_equal(self.patches.center[pids], spec["par_c"])
+
+    def drop_speculation(self):
+        """Void any outstanding wave speculation. Call after mutating
+        engine state outside the wave loop (dense BA, checkpoint restore,
+        reroot): the speculative dispatch's inputs were captured before the
+        mutation. Its depth-pend side effects remain correct either way."""
+        self._spec = None
 
     def _commit_spec(self):
         """Bind the speculation to the router's actual alloc: the simulated
@@ -853,15 +894,11 @@ class Engine:
     def _extend_finish_from(self, spec, cids, pids):
         """Consume a speculative extend dispatch whose predicted wave
         membership matched the popped wave exactly."""
-        n = spec["n"]
-        t0 = time.time()
         # host work done between the speculative dispatch and this fetch ran
         # UNDER an in-flight device dispatch: it is off the critical path
         # (bench.py reports the residual as host_serial_fraction)
-        self.stats["t_host_overlapped"] += t0 - spec["t_dispatched"]
-        got = self._fetch(spec["dev"])
-        self.stats["t_device"] += time.time() - t0
-        out = self._unpack_gate_out(np.array(got)[:n])
+        self.stats["t_host_overlapped"] += time.time() - spec["t_dispatched"]
+        out = self._fetch_spec_chunks(spec["devs"])
         # re-apply the economy pre-check FRESH (the dispatch used a one-wave
         # stale tree, so a superset of lanes ran): masking the now
         # occupied/finer candidate targets out of ok before routing makes
@@ -894,13 +931,17 @@ class Engine:
         device compute -- the reference gets the same overlap from separate
         scheduler threads (main.cpp:150-154).
 
-        Semantics cost (documented divergence, WAVE_LOOKAHEAD to disable):
-        the speculative dispatch's depth/visibility gates read the z-buffer
-        WITHOUT wave N's deferred adds (they ride the following dispatch)
-        -- one more EXTEND_SUBROUNDS-style freshness step. The occupancy
-        pre-check at dispatch is one wave stale (a superset of lanes runs),
-        but _extend_finish_from re-applies it FRESH before routing, so the
-        routed lane set matches a non-speculative wave exactly."""
+        Semantics (documented divergences, WAVE_LOOKAHEAD to disable):
+        wave N's depth ADDS are pre-staged from the simulated winners and
+        ride this dispatch -- the same dispatch they ride non-speculatively
+        -- so the next wave's gates read a z-buffer with NO add lag; only
+        subtracts created after the speculation (removal phase losers) lag
+        one dispatch. The occupancy pre-check at dispatch is one wave stale
+        (a superset of lanes runs), but _extend_finish_from re-applies it
+        FRESH before routing, so the routed lane set matches a
+        non-speculative wave exactly. Large waves route whole-batch (the
+        in-batch first-wins dedup standing in for chunked ordering, like it
+        stands in for the reference's sequential arrivals)."""
         self._spec = None
         opt = self.opt
         if not (opt.WAVE_LOOKAHEAD and opt.EXTEND_SUBROUNDS <= 1
@@ -920,19 +961,23 @@ class Engine:
         (c_in, n_in, s_in, v_in, p_in, w_in, src_sel, lv2,
          pr2) = self._extend_candidates(par_c, par_n, par_v, pr_a, widths,
                                         lv_a)
-        cap = max(opt.BATCH, 16)
-        if len(c_in) == 0 or len(c_in) > cap:
+        if len(c_in) == 0:
             return
-        fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
-        t0 = time.time()
-        dev = self._dispatch_extend(*self._pad_chunk(
-            (c_in, n_in, s_in, v_in, p_in, w_in), fills, len(c_in)))
-        self.stats["patches_optimized"] += len(c_in)
-        self.stats["t_device"] += time.time() - t0
+        # pre-stage wave N's depth ADDS from the simulated winners (the
+        # identical arrays routing's _set_depths(new_pids) would snapshot):
+        # they ride this speculative dispatch -- the SAME dispatch they
+        # ride in the non-speculative path -- so the z-buffer the next
+        # wave's gates read has NO freshness lag. Routing skips its own
+        # _set_depths for these inserts (_depths_pre_added).
+        self._pend.append((par_c.copy(),
+                           np.ascontiguousarray(os_[acc], np.float32),
+                           par_v.copy(), False))
+        self._depths_pre_added = True
+        devs = self._spec_dispatch(c_in, n_in, s_in, v_in, p_in, w_in)
         # predicted pids: the router allocs deterministically in acc order;
         # recorded AFTER routing by _commit_spec (the next wave's pop is
         # compared against them)
-        self._spec = {"dev": dev, "n": len(c_in), "src_sel": src_sel,
+        self._spec = {"devs": devs, "src_sel": src_sel, "par_c": par_c,
                       "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
                       "levels": lv_a, "prio_red": pr_a, "n_par": len(acc),
                       "par_pids": None, "t_dispatched": time.time()}
@@ -1026,7 +1071,13 @@ class Engine:
         self.patches.dirty[new_pids] = dirty
         self._last_inserted = new_pids
         self.insert_patches(new_pids, new_cids)
-        self._set_depths(new_pids)
+        if getattr(self, "_depths_pre_added", False):
+            # _speculate_next already staged these adds into the window
+            # that rode the speculative dispatch (one-shot flag, set only
+            # for the route call immediately following the speculation)
+            self._depths_pre_added = False
+        else:
+            self._set_depths(new_pids)
         self._push_many((lv_a.astype(np.int64) + pr_a) * 10, new_cids)
         return len(acc)
 
@@ -1249,6 +1300,81 @@ class Engine:
         prs = (child_lv[first_of] + par_prio_red[first_of]) * 10
         self._push_many(prs, cell_ids)
         self.stats["branched"] += len(acc)
+        self._speculate_after_branch(cell_ids, prs)
+
+    def _speculate_after_branch(self, cell_ids, prs):
+        """Branch-boundary lookahead: the wave popped after a branch is the
+        children's first extend wave, whose membership -- the keeper patch
+        per child cell after the multi-patch filter -- is already fully
+        determined by the store state the branch just wrote. Simulate the
+        filter's keeper decision (_filter_keepers, side-effect free; the
+        real filter still runs, and subtracts/frees the losers, when the
+        wave pops) and dispatch the keepers' extend batch NOW, so the
+        per-level first extend dispatch overlaps the filter + queue
+        bookkeeping. Freshness: same one-dispatch deferral family as
+        _speculate_next -- the filter's loser depth-subtracts ride the
+        following dispatch instead of this one. Skipped when children span
+        several priorities (the pop would take only the min-prio subset)
+        or when an earlier extend speculation is outstanding (its wave
+        pops first); any residual mismatch falls back via _spec_matches."""
+        opt = self.opt
+        if self._spec is not None:
+            # an extend speculation is outstanding; its (lower-prio) wave
+            # pops before the children
+            return
+        if not (opt.WAVE_LOOKAHEAD and opt.EXTEND_SUBROUNDS <= 1
+                and self._lookahead_ok()):
+            return
+        if len(cell_ids) == 0 or len(np.unique(prs)) != 1:
+            return
+        # simulate _pop_live(pr) WITHOUT popping: cells already queued at
+        # this priority (e.g. prio_red lanes of the previous level) pop
+        # together with the freshly pushed children, in queue order
+        chunks = self.queue.get(int(prs[0]))
+        if not chunks:
+            return
+        cells = (np.concatenate(chunks) if len(chunks) > 1
+                 else np.asarray(chunks[0], np.int64))
+        _, first = np.unique(cells, return_index=True)
+        cells = cells[np.sort(first)]
+        self._ensure_heads()
+        cells = cells[self.tree.alive[cells] & (self.cell_head[cells] >= 0)]
+        if len(cells) == 0:
+            return
+        # simulate the wave's multi-patch filter to get the post-filter
+        # heads (the real filter runs, and subtracts/frees the losers, when
+        # the wave pops)
+        heads = self.cell_head[cells]
+        multi = self.patches.nxt[heads] >= 0
+        sim_head = heads.copy()
+        if multi.any():
+            keepers, _ = self._filter_keepers(cells[multi])
+            sim_head[multi] = keepers
+        # only the not-expanded heads form the extend subset
+        ext = ~self.patches.expanded[sim_head]
+        if not ext.any():
+            return
+        par = sim_head[ext]
+        cells_ext = cells[ext]
+        centers = self.patches.center[par]
+        normals = self.patches.normal[par]
+        views = self.patches.views[par]
+        prio_red = self.patches.prio_red[par]
+        _, widths = self.tree.cell_center_width(cells_ext)
+        levels = self.tree.node_level(cells_ext)
+        (c_in, n_in, s_in, v_in, p_in, w_in, src_sel, lv2,
+         pr2) = self._extend_candidates(centers, normals, views, prio_red,
+                                        widths, levels)
+        if len(c_in) == 0:
+            return
+        devs = self._spec_dispatch(c_in, n_in, s_in, v_in, p_in, w_in)
+        self._spec = {"devs": devs, "src_sel": src_sel,
+                      "par_c": centers.copy(),
+                      "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
+                      "levels": levels, "prio_red": prio_red,
+                      "n_par": len(par),
+                      "par_pids": np.asarray(par).copy(),
+                      "t_dispatched": time.time()}
 
     # ------------------------------------------------------------------
     def reroot_tree(self, direction: np.ndarray):
@@ -1256,6 +1382,7 @@ class Engine:
         outside the cube). Every cell level shifts +1, so queued priorities
         shift +10 to keep prio = (level + prio_red)*10 + phase consistent."""
         self.tree.reroot(direction)
+        self.drop_speculation()  # cell widths/keys changed under the spec
         old = dict(self.queue)
         self.queue = defaultdict(list)
         for pr, chunks in old.items():

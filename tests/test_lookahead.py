@@ -7,10 +7,11 @@ the current tree, simulated with the router's own _insert_winners. The
 reference gets the equivalent overlap from separate scheduler threads
 running ahead of the workers (main.cpp:150-154).
 
-Parity here is STATISTICAL, not bitwise, for a documented reason: the
-speculative dispatch's depth gates read the z-buffer without wave N's
-deferred adds (one more EXTEND_SUBROUNDS-style freshness step), so
-near-threshold gate decisions can flip either way -- the same tolerance
+Parity here is STATISTICAL, not bitwise, for a documented reason: wave N's
+depth adds are pre-staged from the simulated winners (no z-buffer add lag),
+but removal-phase subtracts created after the speculation lag one dispatch,
+and large waves route whole-batch instead of chunk-by-chunk -- so
+near-threshold gate decisions can flip either way, the same tolerance
 family as the sequential-vs-batched divergence the reference's unlocked
 depth reads accept (Scene.cpp:565). The occupancy pre-check staleness is
 fully compensated: _extend_finish_from re-applies it fresh before routing,
