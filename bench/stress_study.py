@@ -145,16 +145,29 @@ def main(argv=None):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    out = {}
+    def merge_write(key, entry):
+        # merge into the existing artifact immediately: a later config (or
+        # a timeout) must not destroy a finished config's measurement
+        out = {}
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as fh:
+                    out = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                out = {}
+        out[key] = entry
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print("wrote", key, "->", args.out)
+
     if args.config in ("ring", "all"):
-        out["ring_150cam"] = run_ring(args.quick)
-        print(json.dumps({"ring": out["ring_150cam"]}, indent=2))
+        entry = run_ring(args.quick)
+        print(json.dumps({"ring": entry}, indent=2))
+        merge_write("ring_150cam", entry)
     if args.config in ("mp", "all"):
-        out["megapixel_facade"] = run_megapixel(args.quick)
-        print(json.dumps({"mp": out["megapixel_facade"]}, indent=2))
-    with open(args.out, "w") as fh:
-        json.dump(out, fh, indent=2)
-    print("wrote", args.out)
+        entry = run_megapixel(args.quick)
+        print(json.dumps({"mp": entry}, indent=2))
+        merge_write("megapixel_facade", entry)
 
 
 if __name__ == "__main__":
