@@ -92,15 +92,17 @@ def main():
         return eng, time.time() - t0, waves
 
     run_loop(120)                      # warmup: compile/load all shapes
-    # steady-state: best of two timed passes. The reconstruction is
-    # deterministic (identical patch/dispatch counts every pass); wall-clock
-    # through the tunneled TPU varies >2x run-to-run with RPC latency
-    # weather, so the faster pass is the better estimate of the engine's
-    # steady-state rate (both are recorded in extras)
-    runs = [run_loop(90), run_loop(90)]
+    # steady-state: MEDIAN of five timed passes (r4 advisory: best-of-2 on
+    # a >2x-variance RPC channel is thin evidence and favors the new
+    # measurement; the median of 5 is robust to tunnel latency weather in
+    # both directions). The reconstruction is deterministic -- identical
+    # patch/dispatch counts every pass -- so passes differ only in
+    # wall-clock; all rates are recorded, best kept as a separate extra.
+    runs = [run_loop(90) for _ in range(5)]
     rates = [int(e.stats["patches_optimized"]) / max(dt, 1e-9)
              for e, dt, _ in runs]
-    eng, e2e_dt, waves = runs[int(np.argmax(rates))]
+    med_i = int(np.argsort(rates)[len(rates) // 2])
+    eng, e2e_dt, waves = runs[med_i]
     n_e2e = int(eng.stats["patches_optimized"])
     disp = int(eng.stats["dispatches"])
 
@@ -110,7 +112,9 @@ def main():
         "unit": "patches/s",
         "vs_baseline": round(pps / baseline_pps, 2),
         "extra": {
+            # median-of-5 pass (r4 advisory); best pass kept separately
             "pipeline_patches_per_sec": round(n_e2e / max(e2e_dt, 1e-9), 1),
+            "pipeline_patches_per_sec_best": round(max(rates), 1),
             "pipeline_runs_per_sec": [round(r, 1) for r in rates],
             "pipeline_patches": n_e2e,
             "pipeline_alive": int(eng.n_alive()),
@@ -129,7 +133,10 @@ def main():
             # on-device, so only this residual sits on the critical path
             # (host_fraction alone OVERSTATES serial host work under
             # overlap: the covered fetch returns instantly, shrinking
-            # t_device by exactly the covered interval)
+            # t_device by exactly the covered interval). t_host_overlapped
+            # excludes device-blocking time accumulated inside the
+            # speculation interval (r4 advisory fix in _extend_finish_from),
+            # so the subtraction no longer double-counts device time.
             "host_serial_fraction": round(
                 max(e2e_dt - float(eng.stats["t_device"])
                     - float(eng.stats["t_host_overlapped"]), 0.0)

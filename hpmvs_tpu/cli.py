@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                     help="pyramid level for seed patches (default 4)")
     ap.add_argument("--max_views", type=int, default=None,
                     help="view slots per patch")
+    ap.add_argument("--covis_min_points", type=int, default=None,
+                    help="min shared SfM points for a covisible pair "
+                         "(reference hardcodes 50, Scene.cpp:272; lower "
+                         "for sparse captures)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (cpu/tpu)")
     ap.add_argument("--checkpoint_every", type=int, default=0,
@@ -101,6 +105,8 @@ def main(argv=None) -> int:
         repl["START_LEVEL"] = args.start_level
     if args.max_views is not None:
         repl["MAX_VIEWS"] = args.max_views
+    if args.covis_min_points is not None:
+        repl["COVIS_MIN_POINTS"] = args.covis_min_points
     opt = dataclasses.replace(Options(), **repl)
 
     snapshot_hook = None

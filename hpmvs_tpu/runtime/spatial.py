@@ -98,6 +98,9 @@ class SpatialEngine(Engine):
         self._bpack_dev = None
         self._bpack_key = None
         self._subset_gate_fn = None
+        self._pending_view_mask = None
+        self._pending_slot_counts = None
+        self._committed_mask = None
 
     def refresh_host_caches(self):
         """Engine.refresh_host_caches + drop the subset closures and slabs:
@@ -111,6 +114,8 @@ class SpatialEngine(Engine):
         self._bmask_key = None
         self._bmask_cache = None
         self._depth_bounds = None
+        self._committed_mask = None
+        self._covis_reach = None
 
     # ------------------------------------------------------------------
     # per-block image subsets
@@ -181,6 +186,63 @@ class SpatialEngine(Engine):
         or none -- a process-local decision key deadlocks (r3 advisory)."""
         return bool(needed)
 
+    def _covis_reach_mat(self) -> np.ndarray:
+        """(ncam, ncam) bool: cameras an optimize lane can touch starting
+        from a view of camera c. The view pipeline grows the list twice with
+        one covis hop from the CURRENT reference image (_add_images_b reads
+        ctx.covis[views[0]]; PatchOptimizer.cpp:225-258 runs before and
+        after optimizePatch, and sortImages may promote any grown view to
+        the ref slot in between), so the touchable set is the 2-hop covis
+        closure of the dispatched views: I | A | A@A."""
+        if self._covis_reach is not None:
+            return self._covis_reach
+        cv = np.asarray(self.scene.ctx.covis)            # (ncam, C), -1 pad
+        ncam = cv.shape[0]
+        adj = np.zeros((ncam, ncam + 1), bool)           # col ncam <- pad -1
+        adj[np.repeat(np.arange(ncam), cv.shape[1]), cv.ravel()] = True
+        adj = adj[:, :ncam]
+        adj |= np.eye(ncam, dtype=bool)
+        self._covis_reach = adj @ adj                    # I | A | A@A
+        return self._covis_reach
+
+    def _stage_pending_views(self, blocks: np.ndarray, views: np.ndarray):
+        """Exact slab coverage for the dispatch being built (r4 advisory,
+        closing the camera_depth_bounds truncation hole): record, per shard,
+        (a) the cameras this dispatch's lanes can touch -- dispatched views
+        dilated through the covis reach -- which _ensure_subsets unions into
+        the slab assignment BEFORE the dispatch runs, and (b) the raw
+        dispatched view-slot counts per (shard, cam), which _blockwise
+        checks against the committed slabs afterwards (stats['slab_miss'],
+        must stay 0: a nonzero count means a lane sampled a zeroed camera
+        and silently diverged from the replicated run)."""
+        ncam = self.scene.n_cameras
+        sh = self.block_shard[blocks]
+        need = np.zeros((self.n_shards, ncam), bool)
+        slots = np.zeros((self.n_shards, ncam), np.int64)
+        v = views.ravel()
+        b = np.repeat(sh, views.shape[1])
+        m = v >= 0
+        np.add.at(slots, (b[m], v[m]), 1)
+        need[b[m], v[m]] = True
+        self._pending_view_mask = need @ self._covis_reach_mat()
+        self._pending_slot_counts = slots
+
+    def _count_slab_misses(self):
+        """stats['slab_miss'] += dispatched view slots whose camera is
+        absent from the committed shard slab (local shards only: remote
+        slabs are owned -- and checked -- by their own process)."""
+        if self._pending_slot_counts is None or self._committed_mask is None:
+            return
+        lm = self._shard_local_mask()
+        miss = int(self._pending_slot_counts[lm][~self._committed_mask[lm]]
+                   .sum())
+        self.stats["slab_miss"] += miss
+        if miss:
+            log.warning("slab_miss: %d dispatched view slots lacked their "
+                        "camera in the committed slab", miss)
+        self._pending_slot_counts = None
+        self._pending_view_mask = None
+
     def _resident_view_mask(self) -> np.ndarray:
         """(n_blocks, ncam) bool: cameras actually referenced by resident
         patches, per block. Unioned into the slab assignment so the
@@ -246,6 +308,15 @@ class SpatialEngine(Engine):
         mask = np.zeros((self.n_shards, bmask.shape[1]), bool)
         for b in range(self.n_blocks):
             mask[self.block_shard[b]] |= bmask[b]
+        # exact coverage of the dispatch about to run (covis-dilated view
+        # lists of its lanes, _stage_pending_views): the geometric mask is
+        # NOT conservative once camera_depth_bounds / occupancy truncation
+        # prune it, and extend candidates inherit the parent's views into
+        # a block whose residents never listed them (the r4 parity hole)
+        if self._pending_view_mask is not None:
+            self.stats["subset_pending_overrides"] = int(
+                (self._pending_view_mask & ~mask).sum())
+            mask |= self._pending_view_mask
         local_rows = subsets.slab_rows(np.asarray(imgs.height), mask)
         key = (tuple(t.center), t.width,
                mask[self._shard_local_mask()].tobytes(), local_rows)
@@ -276,6 +347,7 @@ class SpatialEngine(Engine):
             rows_b=self._agree_dim(local_rows))
         self._bpack_dev = subsets.device_put_block_pack(self.mesh, host)
         self._bpack_key = key
+        self._committed_mask = mask.copy()
         self._subset_gate_fn = None
         total_rows = int(np.asarray(imgs.tex).shape[0])
         self.stats["subset_cams_max"] = int(mask.sum(1).max())
@@ -487,6 +559,10 @@ class SpatialEngine(Engine):
         N = len(blocks)
         bcounts = np.bincount(blocks, minlength=self.n_blocks)
         self._update_assignment(bcounts)
+        if self.image_subsets:
+            # arrays[3] is the per-lane view list in both dispatch layouts
+            # (_optimize and _extend_compute share the fused gate signature)
+            self._stage_pending_views(blocks, arrays[3])
         shards = self.block_shard[blocks]
         order = np.argsort(shards, kind="stable")
         counts_l = np.bincount(shards, minlength=self.n_shards)
@@ -526,6 +602,8 @@ class SpatialEngine(Engine):
                 if outs[j] is None:
                     outs[j] = np.empty((N,) + res[j].shape[1:], res[j].dtype)
                 outs[j][idx] = np.asarray(res[j])[pm]
+        if self.image_subsets:
+            self._count_slab_misses()
         self.stats["block_work_lanes"] += N
         self.stats["block_pad_lanes"] += B * rounds - N
         # post-assignment balance: ideal equal-split lanes vs the busiest

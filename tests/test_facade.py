@@ -101,3 +101,50 @@ def test_facade_distortion_actually_matters(facade_run):
         bad_med = np.inf
     assert bad_n < 0.5 * good_n or bad_med > 3 * good_med, \
         (good_n, bad_n, good_med, bad_med)
+
+
+def test_facade_jpeg_ingest(facade_run, tmp_path):
+    """Real-ingest leg (r4 verdict item 6): the same distorted renders
+    re-encoded as quality-85 JPEG -- the reference's only input format
+    (Image.cpp:41-66) -- plus sensor noise on the pixels and 0.5 px noise
+    on the SfM measurements (a VisualSFM-shaped NVM), driven through the
+    FULL CLI from disk. Reconstruction must land within a small delta of
+    the PNG leg."""
+    import os
+
+    from PIL import Image as PILImage
+
+    from hpmvs_tpu import cli
+    from hpmvs_tpu.io import ply as ply_io
+
+    scene, eng_png = facade_run
+    rng = np.random.default_rng(1)
+    imdir = tmp_path / "jpgs"
+    imdir.mkdir()
+    cams = []
+    for cam in scene.model.cameras:
+        img = np.asarray(PILImage.open(cam.filename)).astype(np.float64)
+        noisy = np.clip(img + rng.normal(0, 2.0, img.shape), 0,
+                        255).astype(np.uint8)
+        jpath = str(imdir / (os.path.basename(cam.filename)[:-4] + ".jpg"))
+        PILImage.fromarray(noisy).save(jpath, quality=85)
+        cams.append(dataclasses.replace(cam, filename=jpath))
+    model = dataclasses.replace(
+        scene.model, cameras=cams,
+        meas_xy=scene.model.meas_xy + rng.normal(0, 0.5,
+                                                 scene.model.meas_xy.shape))
+    nvm_path = str(tmp_path / "facade_jpeg.nvm")
+    nvm_io.save_nvm(nvm_path, [model])
+    out = str(tmp_path / "out")
+    rc = cli.main(["--nvm", nvm_path, "--outdir", out, "--maxtreelevel", "8",
+                   "--patch_level_final_min", "4", "--start_level", "2",
+                   "--max_views", "8", "--covis_min_points", "10"])
+    assert rc == 0
+    pts = ply_io.read_ply_xyz(os.path.join(out, "patches-final.ply"))
+    n_png = eng_png.n_alive()
+    assert pts.shape[0] > 0.6 * n_png, (pts.shape[0], n_png)
+    med_png = float(np.median(facade_surface_dist(
+        eng_png.alive_arrays()[0], scene.slope)))
+    med_jpg = float(np.median(facade_surface_dist(pts, scene.slope)))
+    # JPEG q85 + noise costs a little accuracy, not correctness
+    assert med_jpg < max(2.5 * med_png, 0.015), (med_png, med_jpg)
