@@ -127,6 +127,17 @@ class Options:
                                # subtracts lag one dispatch -- within the
                                # imprecision the reference's unlocked depth
                                # reads accept (Scene.cpp:565)
+    WAVE_DEPTH: int = 4        # waves per fused dispatch (ops/deepwave.py):
+                               # the device router (winner dedup + candidate
+                               # generation + depth adds) chains WAVE_DEPTH
+                               # extend waves inside ONE executable, so the
+                               # host<->device round-trip latency is paid
+                               # once per WAVE_DEPTH dependent waves instead
+                               # of per wave. 1 = classic one-wave
+                               # lookahead. Only the single-device engine
+                               # path uses it (spatial/owned override off);
+                               # waves larger than BATCH fall back to the
+                               # chunked classic path
     DTYPE: str = "float32"
     BLOCK_OVERSUB: int = 8     # spatial mode: Morton blocks per device; the
                                # active blocks are greedily bin-packed onto

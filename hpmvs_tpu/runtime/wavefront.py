@@ -306,6 +306,19 @@ class Engine:
                            self.patches.scale[pids].copy(),
                            self.patches.views[pids].copy(), subtract))
 
+    def _pend_raw(self, c, s, v, subtract: bool):
+        """Stage raw depth windows (deep-wave add/subtract repairs) with the
+        same add/sub/add flush guard as _set_depths."""
+        if len(s) == 0:
+            return
+        if subtract and any(e[3] for e in self._pend) \
+                and not self._pend[-1][3]:
+            self._flush_depths()
+        self._pend.append((np.ascontiguousarray(c, np.float32).copy(),
+                           np.ascontiguousarray(s, np.float32).copy(),
+                           np.ascontiguousarray(v, np.int32).copy(),
+                           subtract))
+
     def _pend_arrays(self):
         """Concatenate the deferred window into (c, s, v, phase)."""
         if not self._pend:
@@ -742,12 +755,18 @@ class Engine:
         if spec is not None:
             if self._spec_matches(spec, pids):
                 self.stats["lookahead_hits"] += 1
-                self._extend_finish_from(spec, cids, pids)
+                if spec.get("deep"):
+                    self._deep_consume(spec, cids, pids)
+                else:
+                    self._extend_finish_from(spec, cids, pids)
                 return
             # speculation missed: its depth-pend side effects were real and
             # already threaded into self.pack (always correct); only the
             # gate output is dropped. Fall through to a fresh dispatch.
+            # Dropped lanes never counted into patches_optimized (count=
+            # False at dispatch); tracked separately as speculative waste.
             self.stats["lookahead_misses"] += 1
+            self.stats["spec_dropped_lanes"] += len(spec["cand_c"])
         centers = self.patches.center[pids]
         normals = self.patches.normal[pids]
         views = self.patches.views[pids]
@@ -834,9 +853,169 @@ class Engine:
         are the supported multi-process path."""
         return not self._mp
 
-    def _spec_dispatch(self, c_in, n_in, s_in, v_in, p_in, w_in):
+    def _deep_ok(self, n: int) -> bool:
+        """Deep multi-wave dispatch (ops/deepwave.py) runs in the
+        single-device engine for single-chunk waves; larger waves amortize
+        the RPC over compute and use the chunked classic path."""
+        return (self.opt.WAVE_DEPTH > 1 and self.mesh is None
+                and n <= max(self.opt.BATCH, 16))
+
+    def _deep_dispatch(self, c_in, n_in, s_in, v_in, p_in, w_in):
+        """Enqueue ONE WAVE_DEPTH-generation fused dispatch (deepwave.
+        optimize_and_gate_deep) WITHOUT blocking: the device router chains
+        the following waves' optimize+gates behind this wave's, so the
+        host<->device round trip is paid once per WAVE_DEPTH waves.
+        Returns (stacked device out array, n_lanes)."""
+        from hpmvs_tpu.ops import deepwave
+        fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
+        n = len(c_in)
+        t0 = time.time()
+        pend = self._take_pending()
+        xin = jnp.asarray(self._pack_gate_in(*self._pad_chunk(
+            (c_in, n_in, s_in, v_in, p_in, w_in), fills, n)))
+        outs, depth = deepwave.optimize_and_gate_deep(
+            self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
+            xin, jnp.asarray(np.asarray(self.tree.center, np.float32)),
+            jnp.float32(self.tree.width),
+            pend=None if pend is None else jnp.asarray(pend),
+            n_gens=int(self.opt.WAVE_DEPTH))
+        self.pack = self.pack._replace(depth=depth)
+        self.stats["dispatches"] += 1
+        self.stats["disp_deep"] += 1
+        self.stats["t_device"] += time.time() - t0
+        return outs, n
+
+    def _deep_consume(self, spec, cids, pids):
+        """Consume generation spec['g'] of a deep dispatch as the popped
+        wave (the deep twin of _extend_finish_from; see ops/deepwave.py for
+        the superset/fresh-recheck contract).
+
+        Per generation: re-apply the tree pre-checks FRESH on the
+        device-returned candidate positions, reconcile the DEVICE winner
+        set against the host router's (device winners are a superset;
+        false winners' device depth adds are repaired with staged
+        subtracts, host winners the device dedup missed -- float-boundary
+        quantization -- get their adds staged), route, then either step to
+        the next on-device generation (when every host winner has its
+        children rows) or fall back to a fresh speculative dispatch."""
+        from hpmvs_tpu.ops import deepwave
+        g = int(spec["g"])
+        if spec["outs"] is None:
+            interval = time.time() - spec["t_dispatched"]
+            dev_inside = self.stats["t_device"] - spec["t_dev_mark"]
+            self.stats["t_host_overlapped"] += max(interval - dev_inside, 0.0)
+            t0 = time.time()
+            spec["outs"] = np.asarray(self._fetch(spec["dev"]))
+            self.stats["t_device"] += time.time() - t0
+        W, B = spec["outs"].shape[:2]
+        DIRS = int(self.opt.EXTEND_DIRS)
+        full = deepwave.unpack_deep_out(spec["outs"][g])
+        oc_f, on_f, os_f, ov_f, ok_f, col_f, cand_f, win_f = full
+        if g == 0:
+            rows = np.arange(int(spec["n_lanes"]))
+            cand = spec["cand_c"]        # host-built, f64-accurate
+        else:
+            rows = spec["rows"]
+            cand = cand_f[rows]
+        lv_l = spec["lv_lanes"]
+        pr_l = spec["pr_lanes"]
+        src = spec["src_sel"]
+        cell_lv = spec["levels"]
+        cell_pr = spec["prio_red"]
+        oc, on = oc_f[rows], on_f[rows]
+        os_, ov = os_f[rows], ov_f[rows]
+        col = col_f[rows]
+        fresh = (self.tree.contains(cand)
+                 & (self.tree.containing_cell(cand) < 0)
+                 & (self.tree.structure_level(cand) <= lv_l))
+        okf = ok_f[rows] & fresh
+        self.stats["extend_candidates"] += int(fresh.sum())
+        self.stats["patches_optimized"] += int(fresh.sum())
+        self.stats["spec_waste_lanes"] += len(fresh) - int(fresh.sum())
+        # the router's acceptance, precomputed (deterministic)
+        ok2, _ = self._insert_winners(oc, okf, lv_l)
+        acc = np.nonzero(ok2)[0]
+        has_next = g + 1 < W
+        deep_next = False
+        if has_next:
+            hw_full = rows[acc]
+            if g == 0:
+                # gen-0's winner adds happened ON DEVICE (only gen-0: see
+                # optimize_and_gate_deep -- deeper gens run with add lag
+                # instead of false-winner pollution). Reconcile: subtract
+                # the false winners, add the host winners the device dedup
+                # missed (float-boundary quantization), and have routing
+                # skip its own _set_depths.
+                ins_full = np.zeros(B, bool)
+                ins_full[hw_full] = True
+                false_w = win_f & ~ins_full
+                if false_w.any():
+                    self._pend_raw(oc_f[false_w], os_f[false_w],
+                                   ov_f[false_w], subtract=True)
+                    self.stats["deep_false_winner_repairs"] += \
+                        int(false_w.sum())
+                miss_add = hw_full[~win_f[hw_full]]
+                if len(miss_add):
+                    self._pend_raw(oc_f[miss_add], os_f[miss_add],
+                                   ov_f[miss_add], subtract=False)
+                self._depths_pre_added = True
+            # next-gen coverage: every host winner must own children rows
+            dev_lanes = np.nonzero(win_f)[0]
+            n_par = B // DIRS
+            if len(acc) and len(dev_lanes):
+                pos = np.searchsorted(dev_lanes, hw_full)
+                safe = np.minimum(pos, len(dev_lanes) - 1)
+                covered = ((pos < len(dev_lanes))
+                           & (dev_lanes[safe] == hw_full) & (pos < n_par))
+                deep_next = bool(covered.all())
+        if not deep_next:
+            if has_next:
+                self.stats["deep_fallbacks"] += 1
+                self.stats["spec_dropped_lanes"] += (W - g - 1) * B
+            # last generation (or fallback): classic next-wave speculation
+            # BEFORE routing mutates the tree (may itself go deep)
+            self._speculate_next((oc, on, os_, ov, okf, col), lv_l, pr_l)
+            n_ins = self._route_extend(oc, on, os_, ov, okf, col, lv_l,
+                                       pr_l, cids[src])
+            self._commit_spec()
+            self.stats["extended"] += n_ins
+            self._finish_extend(cids, pids, cell_lv, cell_pr)
+            return
+        n_ins = self._route_extend(oc, on, os_, ov, okf, col, lv_l, pr_l,
+                                   cids[src])
+        self.stats["extended"] += n_ins
+        self._finish_extend(cids, pids, cell_lv, cell_pr)
+        # step the spec to the next on-device generation: wave N+1's lanes
+        # are the children rows of the just-inserted parents, in insertion
+        # (ascending-lane) order == their queue pop order
+        new_pids = np.asarray(self._last_inserted)
+        if len(new_pids) != len(acc):       # never expected
+            self._spec = None
+            self.stats["deep_fallbacks"] += 1
+            return
+        spec["rows"] = (pos[:, None] * DIRS
+                        + np.arange(DIRS)[None]).ravel()
+        spec["lv_lanes"] = np.repeat(lv_l[acc], DIRS)
+        spec["pr_lanes"] = np.repeat(pr_l[acc], DIRS)
+        spec["src_sel"] = np.repeat(np.arange(len(acc)), DIRS)
+        spec["levels"] = lv_l[acc]
+        spec["prio_red"] = pr_l[acc]
+        spec["n_par"] = len(acc)
+        spec["par_pids"] = new_pids.copy()
+        spec["par_c"] = self.patches.center[new_pids].copy()
+        spec["g"] = g + 1
+        self.stats["deep_gens_consumed"] += 1
+        self._spec = spec
+
+    def _spec_dispatch(self, c_in, n_in, s_in, v_in, p_in, w_in,
+                       count: bool = True):
         """Enqueue a wave's extend batch as bucketed chunk dispatches
-        WITHOUT blocking; returns [(dev, a, b), ...] for _fetch_spec_chunks."""
+        WITHOUT blocking; returns [(dev, a, b), ...] for _fetch_spec_chunks.
+        count=False for SPECULATIVE dispatches: their lanes are counted at
+        consume time from the fresh re-check's survivors (the lanes a
+        non-speculative engine would have dispatched), so a dropped
+        speculation or stale-superset lanes never inflate
+        patches_optimized (r4 advisory)."""
         fills = (0.0, 0.0, 0.0, -1, 0.0, 1.0)
         cap = max(self.opt.BATCH, 16)
         n = len(c_in)
@@ -848,7 +1027,8 @@ class Engine:
                 (c_in[i:i + cap], n_in[i:i + cap], s_in[i:i + cap],
                  v_in[i:i + cap], p_in[i:i + cap], w_in[i:i + cap]),
                 fills, m)), i, i + m))
-        self.stats["patches_optimized"] += n
+        if count:
+            self.stats["patches_optimized"] += n
         self.stats["t_device"] += time.time() - t0
         return devs
 
@@ -896,21 +1076,33 @@ class Engine:
         membership matched the popped wave exactly."""
         # host work done between the speculative dispatch and this fetch ran
         # UNDER an in-flight device dispatch: it is off the critical path
-        # (bench.py reports the residual as host_serial_fraction)
-        self.stats["t_host_overlapped"] += time.time() - spec["t_dispatched"]
+        # (bench.py reports the residual as host_serial_fraction). Device-
+        # blocking time accumulated INSIDE the interval (the intervening
+        # wave's regularize/branch/optimize fetches) is already in t_device,
+        # so subtract its delta to avoid double-counting (r4 advisory).
+        interval = time.time() - spec["t_dispatched"]
+        dev_inside = self.stats["t_device"] - spec["t_dev_mark"]
+        self.stats["t_host_overlapped"] += max(interval - dev_inside, 0.0)
         out = self._fetch_spec_chunks(spec["devs"])
         # re-apply the economy pre-check FRESH (the dispatch used a one-wave
         # stale tree, so a superset of lanes ran): masking the now
         # occupied/finer candidate targets out of ok before routing makes
-        # the routed lane set identical to what a non-speculative wave
-        # would have dispatched -- the only remaining lookahead divergence
-        # is the one-dispatch depth-add deferral
+        # the routed lane set match a non-speculative wave up to one
+        # documented asymmetry -- the mask only REMOVES lanes, so candidate
+        # targets freed between speculation and consumption (remove-phase
+        # frees, filters on other cells) are absent versus a non-speculative
+        # wave; with the one-dispatch depth-add deferral these are the two
+        # lookahead divergences (statistical parity covers both)
         cand = spec["cand_c"]
         lv = spec["lv_lanes"]
         fresh = (self.tree.contains(cand)
                  & (self.tree.containing_cell(cand) < 0)
                  & (self.tree.structure_level(cand) <= lv))
         self.stats["extend_candidates"] += int(fresh.sum())
+        # the consumed wave's true optimize count: the lanes a non-speculative
+        # wave would have dispatched (see _spec_dispatch count=False)
+        self.stats["patches_optimized"] += int(fresh.sum())
+        self.stats["spec_waste_lanes"] += len(fresh) - int(fresh.sum())
         oc, on, os_, ov, ok, col = out
         out = (oc, on, os_, ov, ok & fresh, col)
         self._speculate_next(out, spec["lv_lanes"], spec["pr_lanes"])
@@ -937,11 +1129,14 @@ class Engine:
         -- so the next wave's gates read a z-buffer with NO add lag; only
         subtracts created after the speculation (removal phase losers) lag
         one dispatch. The occupancy pre-check at dispatch is one wave stale
-        (a superset of lanes runs), but _extend_finish_from re-applies it
-        FRESH before routing, so the routed lane set matches a
-        non-speculative wave exactly. Large waves route whole-batch (the
-        in-batch first-wins dedup standing in for chunked ordering, like it
-        stands in for the reference's sequential arrivals)."""
+        (a superset of lanes runs); _extend_finish_from re-applies it FRESH
+        before routing, which REMOVES now-invalid lanes but cannot ADD
+        candidate targets freed between speculation and consumption
+        (remove-phase cell frees, filters on other cells) -- those lanes
+        are absent versus a non-speculative wave. Large waves route
+        whole-batch (the in-batch first-wins dedup standing in for chunked
+        ordering, like it stands in for the reference's sequential
+        arrivals)."""
         self._spec = None
         opt = self.opt
         if not (opt.WAVE_LOOKAHEAD and opt.EXTEND_SUBROUNDS <= 1
@@ -973,14 +1168,25 @@ class Engine:
                            np.ascontiguousarray(os_[acc], np.float32),
                            par_v.copy(), False))
         self._depths_pre_added = True
-        devs = self._spec_dispatch(c_in, n_in, s_in, v_in, p_in, w_in)
         # predicted pids: the router allocs deterministically in acc order;
         # recorded AFTER routing by _commit_spec (the next wave's pop is
         # compared against them)
-        self._spec = {"devs": devs, "src_sel": src_sel, "par_c": par_c,
-                      "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
-                      "levels": lv_a, "prio_red": pr_a, "n_par": len(acc),
-                      "par_pids": None, "t_dispatched": time.time()}
+        spec = {"src_sel": src_sel, "par_c": par_c,
+                "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
+                "levels": lv_a, "prio_red": pr_a, "n_par": len(acc),
+                "par_pids": None, "t_dispatched": time.time(),
+                "t_dev_mark": float(self.stats["t_device"])}
+        if self._deep_ok(len(c_in)):
+            dev, n_lanes = self._deep_dispatch(c_in, n_in, s_in, v_in,
+                                               p_in, w_in)
+            spec.update(deep=True, g=0, outs=None, dev=dev,
+                        n_lanes=n_lanes)
+        else:
+            spec["devs"] = self._spec_dispatch(c_in, n_in, s_in, v_in,
+                                               p_in, w_in, count=False)
+        spec["t_dispatched"] = time.time()
+        spec["t_dev_mark"] = float(self.stats["t_device"])
+        self._spec = spec
 
     def _extend_stream(self, centers, normals, scales, views, parent_c,
                        widths):
@@ -1054,6 +1260,11 @@ class Engine:
         ok, keys = self._insert_winners(oc, ok, lv_t)
         acc = np.nonzero(ok)[0]
         if len(acc) == 0:
+            # a leaked one-shot flag would make a later unrelated insert
+            # skip its _set_depths (r4 advisory); unreachable today (the
+            # flag is only set when the speculation simulated >0 winners on
+            # the identical tree) but cleared defensively
+            self._depths_pre_added = False
             self._last_inserted = acc
             return 0
         lv_a = lv_t[acc]
@@ -1367,14 +1578,22 @@ class Engine:
                                         widths, levels)
         if len(c_in) == 0:
             return
-        devs = self._spec_dispatch(c_in, n_in, s_in, v_in, p_in, w_in)
-        self._spec = {"devs": devs, "src_sel": src_sel,
-                      "par_c": centers.copy(),
-                      "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
-                      "levels": levels, "prio_red": prio_red,
-                      "n_par": len(par),
-                      "par_pids": np.asarray(par).copy(),
-                      "t_dispatched": time.time()}
+        spec = {"src_sel": src_sel, "par_c": centers.copy(),
+                "cand_c": c_in, "lv_lanes": lv2, "pr_lanes": pr2,
+                "levels": levels, "prio_red": prio_red,
+                "n_par": len(par),
+                "par_pids": np.asarray(par).copy()}
+        if self._deep_ok(len(c_in)):
+            dev, n_lanes = self._deep_dispatch(c_in, n_in, s_in, v_in,
+                                               p_in, w_in)
+            spec.update(deep=True, g=0, outs=None, dev=dev,
+                        n_lanes=n_lanes)
+        else:
+            spec["devs"] = self._spec_dispatch(c_in, n_in, s_in, v_in,
+                                               p_in, w_in, count=False)
+        spec["t_dispatched"] = time.time()
+        spec["t_dev_mark"] = float(self.stats["t_device"])
+        self._spec = spec
 
     # ------------------------------------------------------------------
     def reroot_tree(self, direction: np.ndarray):
