@@ -91,7 +91,9 @@ def main():
                 break
         return eng, time.time() - t0, waves
 
-    run_loop(120)                      # warmup: compile/load all shapes
+    run_loop(300)                      # warmup: compile/load all shapes
+    # (deep-wave graphs are large; a short warmup leaves later shapes
+    # uncompiled and the first timed passes absorb the compiles)
     # steady-state: MEDIAN of five timed passes (r4 advisory: best-of-2 on
     # a >2x-variance RPC channel is thin evidence and favors the new
     # measurement; the median of 5 is robust to tunnel latency weather in
@@ -123,6 +125,13 @@ def main():
             "disp_extend": int(eng.stats["disp_extend"]),
             "disp_optimize": int(eng.stats["disp_optimize"]),
             "disp_flush": int(eng.stats["disp_flush"]),
+            "disp_deep": int(eng.stats["disp_deep"]),
+            "deep_gens_consumed": int(eng.stats["deep_gens_consumed"]),
+            "deep_fallbacks": int(eng.stats["deep_fallbacks"]),
+            "deep_fb_overflow": int(eng.stats["deep_fb_overflow"]),
+            "deep_fb_mismatch": int(eng.stats["deep_fb_mismatch"]),
+            "deep_fb_dead": int(eng.stats["deep_fb_dead"]),
+            "spec_waste_lanes": int(eng.stats["spec_waste_lanes"]),
             "lookahead_hits": int(eng.stats["lookahead_hits"]),
             "lookahead_misses": int(eng.stats["lookahead_misses"]),
             "host_fraction": round(

@@ -44,21 +44,28 @@ extern "C" {
 }
 
 // ---------------------------------------------------------------- options
-// (HpmvsOptions.h:29-58 defaults)
-static const int MAXLEVEL = 5;
+// (HpmvsOptions.h:29-58 defaults; HPMVS_* env overrides let the
+// progressive head-to-head run the SAME non-default config as the TPU
+// engine's stress scenes, bench/progressive_study.py)
+static int env_int(const char* k, int d) {
+  const char* v = getenv(k);
+  return v ? atoi(v) : d;
+}
+static const int MAXLEVEL = env_int("HPMVS_MAXLEVEL", 5);
 static const int MINLEVEL = 0;
-static const int START_LEVEL = 4;
+static const int START_LEVEL = env_int("HPMVS_START_LEVEL", 4);
 static const double MAX_ANGLE = 60.0 * M_PI / 180.0;
 static const double MIN_ANGLE = 10.0 * M_PI / 180.0;
-static const int PATCH_INIT_MAXLEVEL = 9;
-static const int MAX_TREE_LEVEL = 20;
-static const int PATCH_FINAL_MINLEVEL = 8;
+static const int PATCH_INIT_MAXLEVEL = env_int("HPMVS_PATCH_INIT_MAXLEVEL", 9);
+static const int MAX_TREE_LEVEL = env_int("HPMVS_MAX_TREE_LEVEL", 20);
+static const int PATCH_FINAL_MINLEVEL =
+    env_int("HPMVS_PATCH_FINAL_MINLEVEL", 8);
 static const int MAX_IMAGES_PER_PATCH = 6;
 static const int MIN_IMAGES_PER_PATCH = 3;
 static const double NCC_ALPHA_1 = 0.4;
 static const double NCC_ALPHA_2 = 0.5;
 static const double DEPTH_TEST_FACTOR = 1.0;
-static const int COVIS_MIN = 50;          // Scene.cpp:272
+static const int COVIS_MIN = env_int("HPMVS_COVIS_MIN", 50);  // Scene.cpp:272
 static const int DEPTH_SUBSAMPLE = 2;     // Scene.h:78
 static const float MAX_DEPTH = 1000.0f;   // Scene.cpp:33
 static const int PS = 7;                  // PatchTex (Patch2d.hpp:88)
@@ -1214,6 +1221,47 @@ int main(int argc, char** argv) {
     procs.back()->initFromTree(st.get(), &borderFn);
   }
 
+  // progressive snapshots (HPMVS_SNAPSHOT_SECONDS="300,900,..."): the
+  // reference's own headline is quality-vs-time (README.md:5-8); each
+  // crossing dumps <outPly>.<sec>s.ply + one JSON line on stdout
+  std::vector<double> snapAt;
+  if (const char* sv = getenv("HPMVS_SNAPSHOT_SECONDS")) {
+    std::istringstream ss(sv);
+    std::string tok;
+    while (std::getline(ss, tok, ',')) snapAt.push_back(atof(tok.c_str()));
+    std::sort(snapAt.begin(), snapAt.end());
+  }
+  size_t snapIdx = 0;
+  auto writeSnapshot = [&](const std::string& path, double el) {
+    std::vector<OctCell*> lf;
+    rootCell->collect(lf);
+    size_t np = 0;
+    std::vector<int> hs;
+    for (OctCell* l : lf) {
+      int lv = tree.nodeLevel(l);
+      if (lv >= (int)hs.size()) hs.resize(lv + 1, 0);
+      hs[lv]++;
+      np += l->data.size();
+    }
+    std::ofstream ply(path);
+    ply << "ply\nformat ascii 1.0\nelement vertex " << np << "\n"
+        << "property float x\nproperty float y\nproperty float z\n"
+        << "end_header\n";
+    for (OctCell* l : lf)
+      for (auto& p : l->data)
+        ply << (float)p->center.x << " " << (float)p->center.y << " "
+            << (float)p->center.z << "\n";
+    std::ostringstream hj2;
+    hj2 << "[";
+    for (size_t i = 0; i < hs.size(); i++) hj2 << (i ? "," : "") << hs[i];
+    hj2 << "]";
+    std::printf("{\"snapshot_s\": %.0f, \"elapsed_s\": %.1f, "
+                "\"patches\": %zu, \"hist\": %s, \"ply\": \"%s\"}\n",
+                snapAt.empty() ? el : snapAt[snapIdx], el, np,
+                hj2.str().c_str(), path.c_str());
+    std::fflush(stdout);
+  };
+
   // priority loop (main.cpp:144-181)
   auto t2 = std::chrono::steady_clock::now();
   const int maxPrio = (MAX_TREE_LEVEL + 1) * 10;
@@ -1236,6 +1284,11 @@ int main(int argc, char** argv) {
     for (auto& cp : procs) more |= cp->haveWork();
     double el = std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t2).count();
+    while (snapIdx < snapAt.size() && el >= snapAt[snapIdx]) {
+      writeSnapshot(outPly + "." + std::to_string((int)snapAt[snapIdx])
+                    + "s.ply", el);
+      snapIdx++;
+    }
     if (!more) break;
     if (el > maxMinutes * 60.0) { timedOut = true; break; }
   }

@@ -75,6 +75,19 @@ def export_facade(out_dir: str, imgsize: int = 256, n_cams: int = 11,
         "imgsize": imgsize, "n_cams": n_cams})
 
 
+def export_ring(out_dir: str, imgsize: int = 256, n_cams: int = 150,
+                n_points: int = 600, seed: int = 0) -> str:
+    """The 150-camera large-outdoor stress capture (BASELINE.json config 4),
+    on disk for the CPU-vs-TPU progressive head-to-head."""
+    ext = 8.0 * (n_cams / 150.0) ** 0.5
+    sc = testing.make_ring_plane_scene(n_cams=n_cams, imgsize=imgsize,
+                                       extent=ext, n_points=n_points,
+                                       seed=seed)
+    return export(sc, out_dir, {
+        "type": "ring_plane", "plane_z": sc.plane_z, "extent": ext,
+        "imgsize": imgsize, "n_cams": n_cams})
+
+
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hpmvs_scenes"
     print(export_plane(os.path.join(base, "plane")))

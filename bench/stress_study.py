@@ -8,11 +8,18 @@ depth-pack sizing and the per-shard image-subset HBM saving at
       --spatial --image_subsets on the 8-virtual-device mesh, where blocks
       genuinely exclude faraway cameras.
 
-Structural/HBM numbers are hardware-independent; wall-clock here is CPU
-(the virtual mesh) and NOT a throughput claim. Writes bench/stress.json.
+Structural/HBM numbers are hardware-independent; wall-clock on the default
+CPU platform is the virtual mesh and NOT a throughput claim.
+
+--platform tpu runs the same configs on the REAL chip (r4 verdict item 2):
+megapixel single-chip, ring on a 1-device mesh (spatial + subsets engine
+paths on hardware), recording chip wall-clock and measured peak HBM
+(device memory_stats) next to the modeled pack sizes. Entries merge into
+bench/stress.json under distinct *_tpu keys.
 
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench/stress_study.py
      [--quick] [--config mp|ring|all]
+     python bench/stress_study.py --platform tpu --config mp   (real chip)
 """
 
 from __future__ import annotations
@@ -27,6 +34,21 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _hbm_stats() -> dict:
+    """Measured device memory stats (real chip); {} when the backend does
+    not expose them (CPU / some tunnels)."""
+    import jax
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if k in ms:
+            out[k.replace("bytes", "mb")] = round(ms[k] / 2**20, 1)
+    return out
 
 
 def run_megapixel(quick: bool) -> dict:
@@ -51,6 +73,23 @@ def run_megapixel(quick: bool) -> dict:
     d = facade_surface_dist(c, sc.slope)
     pack_rows = int(np.asarray(eng.scene.ctx.imgs.tex).shape[0])
     pack_w = int(np.asarray(eng.scene.ctx.imgs.tex).shape[1])
+    # outlier-tail diagnosis (r4 verdict item 5): GSD-normalized accuracy
+    # (facade cameras sit at ~3.5 with f = imgsize*1.2, like the ring's
+    # normalization) + the >2% tail binned by octree level and by ridge
+    # proximity -- the wedge ridge (x ~ 0) is the self-occlusion boundary
+    # where NCC support legitimately degrades
+    gsd = 3.5 / (size * 1.2)
+    ids = np.nonzero(eng.patches.alive[:eng.patches.n])[0]
+    lv = eng.tree.node_level(eng.patches.cell[ids])
+    out = d >= 0.02
+    tail = {}
+    for L in np.unique(lv):
+        m = lv == L
+        tail[f"L{int(L)}"] = {
+            "patches": int(m.sum()),
+            "outlier_frac": round(float(out[m].mean()), 4)}
+    ridge = np.abs(c[:, 0]) < 0.15
+    border = np.abs(np.abs(c[:, 0]) - 1.0) < 0.15
     return {
         "imgsize": size,
         "n_cams": 11,
@@ -59,10 +98,24 @@ def run_megapixel(quick: bool) -> dict:
         "alive": int(eng.n_alive()),
         "inlier_frac_2pct": float((d < 0.02).mean()),
         "rms_inlier": float(np.sqrt((d[d < 0.02] ** 2).mean())),
+        "gsd": round(gsd, 6),
+        "tolerance_4gsd": round(4 * gsd, 6),
+        "inlier_frac_4gsd": float((d < 4 * gsd).mean()),
+        "median_err_gsd": float(np.median(d) / gsd),
+        "outlier_frac_by_level": tail,
+        "outlier_near_ridge_frac": round(float(ridge[out].mean()), 4)
+        if out.any() else 0.0,
+        "outlier_near_border_frac": round(float(border[out].mean()), 4)
+        if out.any() else 0.0,
+        "ridge_population_frac": round(float(ridge.mean()), 4),
         "image_pack_mb": round(pack_rows * pack_w * 3 * 4 * 2 / 2**20, 1),
         "depth_pack_mb": round(np.asarray(eng.pack.depth).nbytes / 2**20, 2),
         "hist": [int(v) for v in eng.tree.histogram()],
         "patches_optimized": int(eng.stats["patches_optimized"]),
+        "dispatches": int(eng.stats["dispatches"]),
+        "host_fraction": round(max(wall - float(eng.stats["t_device"]), 0.0)
+                               / max(wall, 1e-9), 3),
+        "hbm": _hbm_stats(),
     }
 
 
@@ -72,6 +125,8 @@ def run_ring(quick: bool) -> dict:
     from hpmvs_tpu.parallel import mesh as pmesh
     from hpmvs_tpu.testing import make_ring_plane_scene
 
+    import jax
+    n_devices = jax.local_device_count()
     n_cams = 60 if quick else 150
     # 256 px + START_LEVEL=1: seed windows need headroom (a 7x7 patch with
     # margin must fit the seed-level image); extent scales with sqrt(cams)
@@ -84,7 +139,7 @@ def run_ring(quick: bool) -> dict:
                               COVIS_MIN_POINTS=5,
                               MAX_TREE_LEVEL=9 if quick else 10,
                               OUTFOLDER="/tmp/stress_ring")
-    mesh = pmesh.make_mesh(8)
+    mesh = pmesh.make_mesh(min(8, n_devices))
     t0 = time.time()
     eng = pipeline.run(sc.model, opt, images=sc.images, mesh=mesh,
                        spatial=True, image_subsets=True,
@@ -130,6 +185,12 @@ def run_ring(quick: bool) -> dict:
         "patches_optimized": int(s["patches_optimized"]),
         "subset_cams_per_block_mean": float(s.get("subset_block_cams_mean",
                                                   0.0)),
+        "slab_miss": int(s.get("slab_miss", 0)),
+        "n_devices": n_devices,
+        "dispatches": int(s["dispatches"]),
+        "host_fraction": round(max(wall - float(s["t_device"]), 0.0)
+                               / max(wall, 1e-9), 3),
+        "hbm": _hbm_stats(),
         "hist": [int(v) for v in eng.tree.histogram()],
     }
 
@@ -138,12 +199,18 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--config", default="all", choices=["mp", "ring", "all"])
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "stress.json"))
     args = ap.parse_args(argv)
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from hpmvs_tpu.runtime import pipeline
+        pipeline.enable_compile_cache()
 
     def merge_write(key, entry):
         # merge into the existing artifact immediately: a later config (or
@@ -160,14 +227,15 @@ def main(argv=None):
             json.dump(out, fh, indent=2)
         print("wrote", key, "->", args.out)
 
+    suffix = "_tpu" if args.platform == "tpu" else ""
     if args.config in ("ring", "all"):
         entry = run_ring(args.quick)
         print(json.dumps({"ring": entry}, indent=2))
-        merge_write("ring_150cam", entry)
+        merge_write("ring_150cam" + suffix, entry)
     if args.config in ("mp", "all"):
         entry = run_megapixel(args.quick)
         print(json.dumps({"mp": entry}, indent=2))
-        merge_write("megapixel_facade", entry)
+        merge_write("megapixel_facade" + suffix, entry)
 
 
 if __name__ == "__main__":

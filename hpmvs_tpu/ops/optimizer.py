@@ -1073,11 +1073,12 @@ def _optimize_all(ctx, opt: Options, center, normal, scale, views):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("opt", "n_images"))
+@functools.partial(jax.jit,
+                   static_argnames=("opt", "n_images", "with_gates"))
 def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
                       center, normal, scale, views, parent_c, widths,
                       pend_c=None, pend_s=None, pend_v=None, pend_ph=None,
-                      gate_imgs=None):
+                      gate_imgs=None, with_gates: bool = True):
     """Fused extend-candidate compute: optimize + every acceptance gate of
     CellProcessor::extend (:130-142) -- scale window, drift, depthTests,
     viewBlockTest, pixelFreeTests -- in ONE device dispatch.
@@ -1116,6 +1117,14 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     # every phase, PatchOptimizer.cpp:78, and only extend applies these
     # acceptance gates, CellProcessor.cpp:130-142). One executable serves
     # all phases, so seed/branch dispatches fold into this fused path.
+    # with_gates=False (static): the caller promises EVERY lane is bare
+    # (all-branch / all-seed dispatches) -- the geometric gates are heavy
+    # HBM-gather loops over n_images x levels, ~doubling the dispatch, and
+    # their results would be discarded lane-wise anyway.
+    if not with_gates:
+        if has_pend:
+            return oc, on, os_, ov, ok, col, pack.depth
+        return oc, on, os_, ov, ok, col
     gate_on = widths > 0.0
     g = (os_ * 2.0 < widths) & (os_ * 2.0 > widths / 2.0)
     g &= jnp.linalg.norm(oc - parent_c, axis=1) < widths * opt.EXTEND_DRIFT
@@ -1183,9 +1192,11 @@ def pack_gate_out(oc, on, os_, ov, ok, col):
          _bc_i2f(ov)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("opt", "n_images"))
+@functools.partial(jax.jit,
+                   static_argnames=("opt", "n_images", "with_gates"))
 def optimize_and_gate_packed(ctx: SceneCtx, pack, opt: Options,
-                             n_images: int, xin, pend=None, gate_imgs=None):
+                             n_images: int, xin, pend=None, gate_imgs=None,
+                             with_gates: bool = True):
     """optimize_and_gate over the packed row layout. Returns the packed
     output array, plus the updated depth buffer when a pend window was
     passed."""
@@ -1194,11 +1205,13 @@ def optimize_and_gate_packed(ctx: SceneCtx, pack, opt: Options,
         pc_, ps_, pv_, pph_ = unpack_pend(pend)
         res = optimize_and_gate.__wrapped__(
             ctx, pack, opt, n_images, c, n, s, v, pc, w,
-            pc_, ps_, pv_, pph_, gate_imgs=gate_imgs)
+            pc_, ps_, pv_, pph_, gate_imgs=gate_imgs,
+            with_gates=with_gates)
         return pack_gate_out(*res[:6]), res[6]
     res = optimize_and_gate.__wrapped__(ctx, pack, opt, n_images,
                                         c, n, s, v, pc, w,
-                                        gate_imgs=gate_imgs)
+                                        gate_imgs=gate_imgs,
+                                        with_gates=with_gates)
     return pack_gate_out(*res[:6])
 
 

@@ -474,6 +474,10 @@ class Engine:
         on-device -- ONE dispatch for optimize + gates + setDepths, one
         H2D transfer for the batch and one D2H for the results."""
         pend = self._take_pending()
+        # all-bare batches (branch / seed dispatches) statically skip the
+        # geometric gates -- heavy HBM-gather loops whose per-lane results
+        # those lanes discard anyway (~2x dispatch cost measured on-chip)
+        gates = bool((widths > 0).any())
         xin = self._dev_batch(self._pack_gate_in(
             centers, normals, scales, views, parent_c, widths))
         if pend is not None:
@@ -483,7 +487,7 @@ class Engine:
             else:
                 out, depth = popt.optimize_and_gate_packed(
                     self.scene.ctx, self.pack, self.opt,
-                    self.scene.n_cameras, xin, p)
+                    self.scene.n_cameras, xin, p, with_gates=gates)
             self.pack = self.pack._replace(depth=depth)
         else:
             if self.mesh is not None:
@@ -491,7 +495,7 @@ class Engine:
             else:
                 out = popt.optimize_and_gate_packed(
                     self.scene.ctx, self.pack, self.opt,
-                    self.scene.n_cameras, xin)
+                    self.scene.n_cameras, xin, with_gates=gates)
         self.stats["dispatches"] += 1
         self.stats["disp_extend"] += 1
         return out
@@ -853,12 +857,26 @@ class Engine:
         are the supported multi-process path."""
         return not self._mp
 
+    # deep dispatches get a finer pow-2 bucket ladder up to this cap: a
+    # single-chunk deep batch serves waves the classic path would chunk,
+    # so chains survive the large late-level waves where the compute is.
+    # 4096 is the measured hardware ceiling: the B=8192 optimize kernel
+    # fails TPU compilation (smem overflow) -- verified on-chip, bare and
+    # fused alike (/tmp profile, round 5)
+    DEEP_BATCH_CAP = 4096
+
+    def _deep_bucket(self, n: int) -> int:
+        b = 512
+        while b < n:
+            b *= 2
+        return min(b, self.DEEP_BATCH_CAP)
+
     def _deep_ok(self, n: int) -> bool:
         """Deep multi-wave dispatch (ops/deepwave.py) runs in the
-        single-device engine for single-chunk waves; larger waves amortize
-        the RPC over compute and use the chunked classic path."""
+        single-device engine for waves up to DEEP_BATCH_CAP; larger waves
+        amortize the RPC over compute and use the chunked classic path."""
         return (self.opt.WAVE_DEPTH > 1 and self.mesh is None
-                and n <= max(self.opt.BATCH, 16))
+                and n <= self.DEEP_BATCH_CAP)
 
     def _deep_dispatch(self, c_in, n_in, s_in, v_in, p_in, w_in):
         """Enqueue ONE WAVE_DEPTH-generation fused dispatch (deepwave.
@@ -871,8 +889,13 @@ class Engine:
         n = len(c_in)
         t0 = time.time()
         pend = self._take_pending()
-        xin = jnp.asarray(self._pack_gate_in(*self._pad_chunk(
-            (c_in, n_in, s_in, v_in, p_in, w_in), fills, n)))
+        b = self._deep_bucket(n)
+        padded = []
+        for a, fill in zip((c_in, n_in, s_in, v_in, p_in, w_in), fills):
+            buf = np.full((b,) + a.shape[1:], fill, a.dtype)
+            buf[:n] = a[:n]
+            padded.append(buf)
+        xin = jnp.asarray(self._pack_gate_in(*padded))
         outs, depth = deepwave.optimize_and_gate_deep(
             self.scene.ctx, self.pack, self.opt, self.scene.n_cameras,
             xin, jnp.asarray(np.asarray(self.tree.center, np.float32)),
@@ -962,12 +985,21 @@ class Engine:
             # next-gen coverage: every host winner must own children rows
             dev_lanes = np.nonzero(win_f)[0]
             n_par = B // DIRS
-            if len(acc) and len(dev_lanes):
+            if len(acc) == 0:
+                self.stats["deep_fb_dead"] += 1
+            elif len(dev_lanes) == 0:
+                self.stats["deep_fb_mismatch"] += 1
+            else:
                 pos = np.searchsorted(dev_lanes, hw_full)
                 safe = np.minimum(pos, len(dev_lanes) - 1)
-                covered = ((pos < len(dev_lanes))
-                           & (dev_lanes[safe] == hw_full) & (pos < n_par))
+                in_dev = (pos < len(dev_lanes)) & (dev_lanes[safe] == hw_full)
+                covered = in_dev & (pos < n_par)
                 deep_next = bool(covered.all())
+                if not deep_next:
+                    if bool(in_dev.all()):
+                        self.stats["deep_fb_overflow"] += 1
+                    else:
+                        self.stats["deep_fb_mismatch"] += 1
         if not deep_next:
             if has_next:
                 self.stats["deep_fallbacks"] += 1
