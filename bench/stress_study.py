@@ -37,17 +37,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _hbm_stats() -> dict:
-    """Measured device memory stats (real chip); {} when the backend does
-    not expose them (CPU / some tunnels)."""
+    """Measured device memory stats (real chip); falls back to summed live
+    device arrays when the backend does not expose memory_stats (the axon
+    tunnel) -- an end-of-run residency floor, not a peak."""
     import jax
+    out = {}
     try:
         ms = jax.local_devices()[0].memory_stats() or {}
+        for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if k in ms:
+                out[k.replace("bytes", "mb")] = round(ms[k] / 2**20, 1)
     except Exception:
-        return {}
-    out = {}
-    for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
-        if k in ms:
-            out[k.replace("bytes", "mb")] = round(ms[k] / 2**20, 1)
+        pass
+    if not out:
+        try:
+            live = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                       for a in jax.live_arrays())
+            out = {"live_arrays_mb": round(live / 2**20, 1),
+                   "note": "backend exposes no memory_stats; this is the "
+                           "summed live jax.Array residency at run end"}
+        except Exception:
+            pass
     return out
 
 

@@ -339,13 +339,30 @@ class Engine:
             phs.append(np.full(len(e[1]), ph, np.int32))
         return c, s, v, np.concatenate(phs)
 
+    # standalone-flush chunk bound: the phased scatter's HLO temps scale
+    # with lanes x views x window cells (~36 KB/lane measured from the XLA
+    # OOM report) -- an unbounded window (the ring scene's final level
+    # defers ~500k adds) compiles to >19 GB of HBM temps on a 16 GB chip.
+    # Chunks apply in deferred order, so semantics are unchanged.
+    FLUSH_CHUNK = 32768
+
     def _flush_depths(self):
-        """Apply the deferred depth window with ONE standalone dispatch
-        (external pack readers, checkpointing, overflow)."""
+        """Apply the deferred depth window with standalone dispatches
+        (external pack readers, checkpointing, overflow), chunked to bound
+        the scatter's HBM temps."""
         if self._count_global(len(self._pend)) == 0:
             return
         c, s, v, ph = self._gather_pend(*self._pend_arrays())
         self._pend = []
+        n = len(s)
+        if n > self.FLUSH_CHUNK:
+            for i in range(0, n, self.FLUSH_CHUNK):
+                j = min(i + self.FLUSH_CHUNK, n)
+                self._flush_depths_one(c[i:j], s[i:j], v[i:j], ph[i:j])
+            return
+        self._flush_depths_one(c, s, v, ph)
+
+    def _flush_depths_one(self, c, s, v, ph):
         t0 = time.time()
         b = _bucket(len(s), lo=512)
         c, s, v, ph = self._pend_pad(c, s, v, ph, b)
@@ -860,10 +877,11 @@ class Engine:
     # deep dispatches get a finer pow-2 bucket ladder up to this cap: a
     # single-chunk deep batch serves waves the classic path would chunk,
     # so chains survive the large late-level waves where the compute is.
-    # 4096 is the measured hardware ceiling: the B=8192 optimize kernel
-    # fails TPU compilation (smem overflow) -- verified on-chip, bare and
-    # fused alike (/tmp profile, round 5)
-    DEEP_BATCH_CAP = 4096
+    # The hard ceiling is the window-DMA kernel's scalar-prefetch arrays
+    # (pallas_fetch.py): B x n_windows s32 indices live in the 1 MB SMEM,
+    # which overflows at B=4096 on deeper pyramids (measured on-chip: the
+    # megapixel facade exceeds it by 1.1 KB; B=8192 fails on every scene)
+    DEEP_BATCH_CAP = 2048
 
     def _deep_bucket(self, n: int) -> int:
         b = 512
