@@ -69,6 +69,64 @@ def expected_strings():
                 "pipeline rate vs BENCH_r04.json"))
     out.append(("SCALING.md", "**%.1fk patches/s**" % (pps / 1000.0),
                 "pipeline rate vs BENCH_r04.json"))
+
+    # round-5 real-chip stress rows (README) vs bench/stress.json
+    st = _load("bench/stress.json")
+    ring, mp = st["ring_150cam_tpu"], st["megapixel_facade_tpu"]
+    out.append(("README.md",
+                "**%.1f s** (vs %.1f s same engine on the 2-core CPU mesh)"
+                % (ring["wall_s"], st["ring_150cam"]["wall_s"]),
+                "ring chip wall vs stress.json"))
+    out.append(("README.md", "| {:,} |".format(ring["alive"]),
+                "ring alive vs stress.json"))
+    out.append(("README.md",
+                "inlier **%.4f @4·GSD**, **%.3f @2%%**"
+                % (ring["inlier_frac_4gsd"], ring["inlier_frac_2pct"]),
+                "ring quality vs stress.json"))
+    out.append(("README.md",
+                "**%.1f s** (vs %.1f s CPU-mesh)"
+                % (mp["wall_s"], st["megapixel_facade"]["wall_s"]),
+                "megapixel chip wall vs stress.json"))
+    out.append(("README.md",
+                "inlier **%.3f @2%%**, median err **%.2f GSD**"
+                % (mp["inlier_frac_2pct"], mp["median_err_gsd"]),
+                "megapixel quality vs stress.json"))
+    ta = mp["tail_attribution"]
+    out.append(("README.md",
+                "**%.1f%% near the ridge**" %
+                (ta["outlier_frac_nearridge"] * 100),
+                "tail nearridge vs stress.json"))
+    out.append(("README.md",
+                "**%.1f%% on the outer faces**" %
+                (ta["outlier_frac_outer"] * 100),
+                "tail outer vs stress.json"))
+    out.append(("README.md",
+                "**%.1f%% at the vertical extremes**" %
+                (ta["outlier_frac_y_extreme"] * 100),
+                "tail y-extreme vs stress.json"))
+    out.append(("README.md",
+                "median %.1f° off ground truth vs %.1f°"
+                % (ta["normal_err_deg_median_outlier"],
+                   ta["normal_err_deg_median_inlier"]),
+                "tail normal err vs stress.json"))
+
+    # SCALING section-3 measured inputs vs bench/scaling_inputs.json
+    si = _load("bench/scaling_inputs.json")
+    d2048 = [r for r in si["dispatch"]["dispatch_curve"]
+             if r["B"] == 2048][0]
+    out.append(("SCALING.md",
+                "%.2f µs/lane on chip" % d2048["us_per_lane_pipelined"],
+                "per-lane pipelined vs scaling_inputs.json"))
+    out.append(("SCALING.md",
+                "%.1f ms measured (serial − pipelined, B=2048)"
+                % d2048["overhead_ms"],
+                "dispatch overhead vs scaling_inputs.json"))
+    h = si["host_16k"]
+    out.append(("SCALING.md",
+                "%.1f ms total (%.2f µs/lane)"
+                % ((h["winner_sim_s"] + h["insert_s"]) * 1e3,
+                   h["us_per_lane"]),
+                "16k router cost vs scaling_inputs.json"))
     return out
 
 

@@ -83,7 +83,7 @@ def run_cpu(sdir: str, gt: dict, budgets, max_minutes: float) -> dict:
             "snapshots": snaps}
 
 
-def run_tpu(sdir: str, gt: dict, budgets) -> dict:
+def run_tpu(sdir: str, gt: dict, budgets, warm: bool = True) -> dict:
     from hpmvs_tpu.config import Options
     from hpmvs_tpu.runtime import pipeline
 
@@ -93,10 +93,15 @@ def run_tpu(sdir: str, gt: dict, budgets) -> dict:
                               **RING)
     nvm = os.path.join(sdir, "scene.nvm")
     # warm the compile cache with a throwaway run (one-time cost per code
-    # change; recorded separately like BASELINE_E2E first_run_wall_seconds)
-    t0 = time.time()
-    pipeline.run_nvm_file(nvm, opt, max_prio=(RING["MAX_TREE_LEVEL"] + 1) * 10)
-    cold = time.time() - t0
+    # change; recorded separately like BASELINE_E2E first_run_wall_seconds).
+    # --no-warm skips it when the persistent cache already holds this
+    # build's shapes (e.g. the stress ring just ran on the same chip).
+    cold = 0.0
+    if warm:
+        t0 = time.time()
+        pipeline.run_nvm_file(nvm, opt,
+                              max_prio=(RING["MAX_TREE_LEVEL"] + 1) * 10)
+        cold = time.time() - t0
 
     snaps = []
     state = {"t0": None, "idx": 0}
@@ -141,6 +146,8 @@ def main(argv=None):
     ap.add_argument("--base", default="/tmp/hpmvs_scenes/ring")
     ap.add_argument("--skip-cpu", action="store_true")
     ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the throwaway cache-warming TPU run")
     ap.add_argument("--out", default=os.path.join(BENCH, "progressive.json"))
     args = ap.parse_args(argv)
     budgets = [float(b) for b in args.budgets.split(",")]
@@ -170,7 +177,7 @@ def main(argv=None):
         print(json.dumps(entry, indent=1))
         merge("cpu", entry)
     if not args.skip_tpu:
-        entry = run_tpu(sdir, gt, budgets)
+        entry = run_tpu(sdir, gt, budgets, warm=not args.no_warm)
         print(json.dumps(entry, indent=1))
         merge("tpu", entry)
 

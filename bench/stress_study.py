@@ -100,7 +100,40 @@ def run_megapixel(quick: bool) -> dict:
             "outlier_frac": round(float(out[m].mean()), 4)}
     ridge = np.abs(c[:, 0]) < 0.15
     border = np.abs(np.abs(c[:, 0]) - 1.0) < 0.15
+    # periphery + normal-error attribution (r5): where the tail actually
+    # lives. GT face normal (toward the cameras at -z) is
+    # (slope*sign(x),0,-1)/sqrt(1+slope^2); a patch that slid along its ray
+    # typically also carries a broken normal.
+    nrm = eng.alive_arrays()[1]
+    gt_n = np.stack([sc.slope * np.sign(c[:, 0]), np.zeros(len(c)),
+                     -np.ones(len(c))], 1)
+    gt_n /= np.linalg.norm(gt_n, axis=1, keepdims=True)
+    nn = nrm / np.clip(np.linalg.norm(nrm, axis=1, keepdims=True),
+                       1e-9, None)
+    ang = np.degrees(np.arccos(np.clip((gt_n * nn).sum(1), -1, 1)))
+    sgn_above = np.sign(c[:, 2] - sc.slope * np.abs(c[:, 0])) > 0
+    def _ofrac(m):
+        return round(float(out[m].mean()), 4) if m.any() else 0.0
+    periph = {
+        "outlier_frac_nearridge": _ofrac(np.abs(c[:, 0]) < 0.15),
+        "outlier_frac_mid": _ofrac((np.abs(c[:, 0]) >= 0.15)
+                                   & (np.abs(c[:, 0]) < 0.6)),
+        "outlier_frac_outer": _ofrac(np.abs(c[:, 0]) >= 0.6),
+        "outlier_frac_y_extreme": _ofrac(np.abs(c[:, 1]) >= 0.5),
+        "outlier_frac_y_central": _ofrac(np.abs(c[:, 1]) < 0.5),
+        "normal_err_deg_median_inlier": round(float(np.median(ang[~out])), 1)
+        if (~out).any() else 0.0,
+        "normal_err_deg_median_outlier": round(float(np.median(ang[out])), 1)
+        if out.any() else 0.0,
+        "outlier_below_surface_frac": round(float((~sgn_above[out]).mean()),
+                                            3) if out.any() else 0.0,
+        "tail_d_quantiles_25_50_75_95": [
+            round(float(q), 4)
+            for q in np.quantile(d[out], [.25, .5, .75, .95])]
+        if out.any() else [],
+    }
     return {
+        "tail_attribution": periph,
         "imgsize": size,
         "n_cams": 11,
         "render_s": round(t_render, 1),
