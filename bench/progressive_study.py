@@ -106,7 +106,10 @@ def run_tpu(sdir: str, gt: dict, budgets, warm: bool = True) -> dict:
     snaps = []
     state = {"t0": None, "idx": 0}
 
-    def hook(engine, prio):
+    # per-wave-generation hook: fires every frontier generation (seconds),
+    # so time-budget snapshots land within one wave of their budget even
+    # inside the minutes-long final-level priority steps
+    def hook(engine):
         if state["t0"] is None:
             state["t0"] = time.time()
         el = time.time() - state["t0"]
@@ -120,7 +123,7 @@ def run_tpu(sdir: str, gt: dict, budgets, warm: bool = True) -> dict:
 
     t0 = time.time()
     state["t0"] = t0
-    eng = pipeline.run_nvm_file(nvm, opt, snapshot_hook=hook,
+    eng = pipeline.run_nvm_file(nvm, opt, wave_hook=hook,
                                 max_prio=(RING["MAX_TREE_LEVEL"] + 1) * 10)
     wall = time.time() - t0
     c = eng.alive_arrays()[0]
@@ -128,7 +131,11 @@ def run_tpu(sdir: str, gt: dict, budgets, warm: bool = True) -> dict:
              "hist": [int(v) for v in eng.tree.histogram()],
              "optimize_calls": int(eng.stats["patches_optimized"]),
              "dispatches": int(eng.stats["dispatches"]),
-             "disp_deep": int(eng.stats["disp_deep"])}
+             "disp_deep": int(eng.stats["disp_deep"]),
+             "stats": {k: (round(float(v), 3)
+                           if isinstance(v, float) else int(v))
+                       for k, v in sorted(eng.stats.items())
+                       if isinstance(v, (int, float))}}
     # budgets the run finished before: final state carries forward
     for b in budgets[state["idx"]:]:
         snaps.append({"budget_s": b, "elapsed_s": round(wall, 1),

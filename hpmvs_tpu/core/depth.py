@@ -181,17 +181,78 @@ def get_full_depth(pack: DepthPack, ci, x, y, n_levels: int,
     return depth
 
 
+def collapse_full_depth(depth: jnp.ndarray, layout, ncam: int) -> jnp.ndarray:
+    """Collapse the per-level z-buffer pyramid into ONE level-0-resolution
+    full-depth buffer: out[c, y, x] == get_full_depth(pack, c, x*ss, y*ss)
+    for every level-0 (subsampled) cell -- the pyramid min with the exact
+    stop-at-first-out-of-bounds rule of Scene::getFullDepth
+    (Scene.cpp:406-431), reproduced by an `alive` mask that goes false at
+    the first level whose cell is out of bounds and stays false.
+
+    layout: STATIC tuple of per-level pack dims ((h0,w0),(h1,w1),...),
+    valid when every camera shares them (uniform captures; the engine
+    passes None otherwise and the gates fall back to per-lane pyramid
+    gathers). Built from dense repeats + mins -- bandwidth-bound, ZERO
+    gathers -- so the geometric gates afterwards cost ONE gather per
+    (lane, view, neighbor) instead of one per pyramid level: at 150
+    cameras this is the difference between the gates dominating the fused
+    dispatch ~6:1 and costing less than the optimizer
+    (bench/progressive.json ring leg: t_phase0 654 s of 760 s device)."""
+    L = len(layout)
+    h0, w0 = layout[0]
+    S = sum(h * w for h, w in layout)
+    d2 = depth.reshape(ncam, S)
+    acc = d2[:, :h0 * w0].reshape(ncam, h0, w0)
+    ys = jnp.arange(h0)[:, None]
+    xs = jnp.arange(w0)[None, :]
+    alive = jnp.ones((h0, w0), bool)
+    pre = h0 * w0
+    for lv in range(1, L):
+        h, w = layout[lv]
+        f = 1 << lv
+        # in-bounds at this level: the L0 cell's ancestor (y>>lv, x>>lv)
+        # exists; empty slabs (h*w == 0) kill every cell from here down
+        alive = alive & (ys < h * f) & (xs < w * f)
+        if h > 0 and w > 0:
+            slab = d2[:, pre:pre + h * w].reshape(ncam, h, w)
+            up = jnp.repeat(jnp.repeat(slab, f, axis=1), f, axis=2)
+            uh, uw = min(h0, h * f), min(w0, w * f)
+            up = up[:, :uh, :uw]
+            if uh < h0 or uw < w0:
+                up = jnp.pad(up, ((0, 0), (0, h0 - uh), (0, w0 - uw)),
+                             constant_values=MAX_DEPTH)
+            acc = jnp.minimum(acc, jnp.where(alive[None], up, MAX_DEPTH))
+        pre += h * w
+    return acc
+
+
 def _depth_test_at(pack: DepthPack, cams, imgs, opt: Options, centers,
-                   normals, scales, ci, ix, iy, d, margin, view_block: bool):
+                   normals, scales, ci, ix, iy, d, margin, view_block: bool,
+                   full0=None):
     """Inner Scene::depthTest (Scene.cpp:558-582) at explicit pixel coords.
 
-    centers/normals/scales broadcast against ci/ix/iy."""
+    centers/normals/scales broadcast against ci/ix/iy. full0: optional
+    collapsed full-depth buffer (ncam, h0, w0) from collapse_full_depth --
+    one gather here instead of one per pyramid level."""
     w0 = imgs.width[ci, 0]
     h0 = imgs.height[ci, 0]
     inb = (d >= 0) & (ix >= 0) & (ix < w0) & (iy >= 0) & (iy < h0)
 
-    img_depth = get_full_depth(pack, ci, ix, iy, opt.n_levels,
-                               opt.DEPTH_SUBSAMPLE)
+    if full0 is not None:
+        ss = opt.DEPTH_SUBSAMPLE
+        xs = ix // ss
+        ys = iy // ss
+        pw = pack.width[ci, 0]
+        ph = pack.height[ci, 0]
+        inb0 = (xs >= 0) & (xs < pw) & (ys >= 0) & (ys < ph)
+        img_depth = jnp.where(
+            inb0,
+            full0[ci, jnp.clip(ys, 0, full0.shape[1] - 1),
+                  jnp.clip(xs, 0, full0.shape[2] - 1)],
+            MAX_DEPTH)
+    else:
+        img_depth = get_full_depth(pack, ci, ix, iy, opt.n_levels,
+                                   opt.DEPTH_SUBSAMPLE)
     empty = img_depth >= MAX_DEPTH
 
     ray = centers - cams.center[ci]
@@ -209,7 +270,7 @@ def _depth_test_at(pack: DepthPack, cams, imgs, opt: Options, centers,
 
 
 def _depth_test_view(pack, cams, imgs, opt: Options, centers, normals, scales,
-                     ci, margin, view_block: bool):
+                     ci, margin, view_block: bool, full0=None):
     """Scene::depthTest with 3x3 neighborhood (Scene.cpp:534-556): level-0
     projection; ALL 9 neighbors must pass."""
     imgC = cam_ops.mult(cams, ci, centers, jnp.zeros_like(ci))
@@ -221,13 +282,13 @@ def _depth_test_view(pack, cams, imgs, opt: Options, centers, normals, scales,
         for xx in range(3):
             res = res & _depth_test_at(pack, cams, imgs, opt, centers, normals,
                                        scales, ci, ix0 + xx, iy0 + yy, d,
-                                       margin, view_block)
+                                       margin, view_block, full0=full0)
     return res
 
 
 @functools.partial(jax.jit, static_argnames=("opt",))
 def depth_tests(pack: DepthPack, cams, imgs, opt: Options, centers, normals,
-                scales, views, margin):
+                scales, views, margin, full0=None):
     """Scene::depthTests (Scene.cpp:518-524): #views passing the depth test."""
     ci = jnp.maximum(views, 0)
     B, K = views.shape
@@ -235,13 +296,13 @@ def depth_tests(pack: DepthPack, cams, imgs, opt: Options, centers, normals,
     nn = jnp.broadcast_to(normals[:, None, :], (B, K, 3))
     ss = jnp.broadcast_to(scales[:, None], (B, K))
     res = _depth_test_view(pack, cams, imgs, opt, cc, nn, ss, ci, margin,
-                           view_block=False)
+                           view_block=False, full0=full0)
     return jnp.sum(res & (views >= 0), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))
 def view_block_test(pack: DepthPack, cams, imgs, opt: Options, centers,
-                    normals, scales, margin, n_images: int):
+                    normals, scales, margin, n_images: int, full0=None):
     """Scene::viewBlockTest (Scene.cpp:610-644): over ALL images, count views
     where the patch floats in front of a confirmed surface."""
     B = centers.shape[0]
@@ -261,20 +322,20 @@ def view_block_test(pack: DepthPack, cams, imgs, opt: Options, centers,
            & (uvw[..., 1] >= 0) & (uvw[..., 1] <= h))
 
     blocked = _depth_test_view(pack, cams, imgs, opt, cc, nn, ss, ci, margin,
-                               view_block=True)
+                               view_block=True, full0=full0)
     return jnp.sum(blocked & lvl_ok & vis, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))
 def geom_gates(pack: DepthPack, cams, imgs, opt: Options, centers, normals,
-               scales, views, margin, n_images: int):
+               scales, views, margin, n_images: int, full0=None):
     """Fused depthTests + viewBlockTest + pixelFreeTests in ONE device call
     (the wavefront engine runs these per candidate batch; separate dispatches
     would cost three host-device round trips)."""
     dt = depth_tests.__wrapped__(pack, cams, imgs, opt, centers, normals,
-                                 scales, views, margin)
+                                 scales, views, margin, full0=full0)
     vb = view_block_test.__wrapped__(pack, cams, imgs, opt, centers, normals,
-                                     scales, margin, n_images)
+                                     scales, margin, n_images, full0=full0)
     pf = pixel_free_tests.__wrapped__(pack, cams, imgs, opt, centers, scales,
                                       views)
     return dt, vb, pf

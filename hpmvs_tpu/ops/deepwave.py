@@ -175,9 +175,11 @@ def unpack_deep_out(arr):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("opt", "n_images", "n_gens"))
+                   static_argnames=("opt", "n_images", "n_gens",
+                                    "pack_layout"))
 def optimize_and_gate_deep(ctx, pack, opt: Options, n_images: int, xin,
-                           root_c, root_w, pend=None, n_gens: int = 2):
+                           root_c, root_w, pend=None, n_gens: int = 2,
+                           pack_layout=None):
     """n_gens consecutive extend waves in one dispatch (see module doc).
 
     xin: (B, 11+K) packed gate input of wave N (host-built, host-prechecked
@@ -199,7 +201,8 @@ def optimize_and_gate_deep(ctx, pack, opt: Options, n_images: int, xin,
     cand_in = c
     for g in range(n_gens):
         res = popt.optimize_and_gate.__wrapped__(
-            ctx, pack, opt, n_images, c, n, s, v, pc, w)
+            ctx, pack, opt, n_images, c, n, s, v, pc, w,
+            pack_layout=pack_layout)
         oc, on, os_, ov, ok, col = res[:6]
         lv = level_from_width(w, root_w)
         win = winner_dedup(oc, ok, jnp.where(w > 0, lv, -1), root_c, root_w)

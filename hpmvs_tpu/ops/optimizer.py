@@ -1074,11 +1074,13 @@ def _optimize_all(ctx, opt: Options, center, normal, scale, views):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("opt", "n_images", "with_gates"))
+                   static_argnames=("opt", "n_images", "with_gates",
+                                    "pack_layout"))
 def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
                       center, normal, scale, views, parent_c, widths,
                       pend_c=None, pend_s=None, pend_v=None, pend_ph=None,
-                      gate_imgs=None, with_gates: bool = True):
+                      gate_imgs=None, with_gates: bool = True,
+                      pack_layout=None):
     """Fused extend-candidate compute: optimize + every acceptance gate of
     CellProcessor::extend (:130-142) -- scale window, drift, depthTests,
     viewBlockTest, pixelFreeTests -- in ONE device dispatch.
@@ -1130,10 +1132,20 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     g &= jnp.linalg.norm(oc - parent_c, axis=1) < widths * opt.EXTEND_DRIFT
 
     m = opt.DEPTH_TEST_FACTOR
+    # collapsed full-depth buffer (depth.collapse_full_depth): dense
+    # gather-free pyramid min computed ONCE per dispatch, so the depth and
+    # viewBlock tests pay 1 gather per (lane, view, neighbor) instead of
+    # n_levels -- the gates scale O(n_images) per lane (Scene.cpp:610-644)
+    # and dominated the device time ~6:1 on 150-camera scenes without this
+    full0 = None
+    if pack_layout is not None:
+        full0 = depth_mod.collapse_full_depth(pack.depth, pack_layout,
+                                              n_images)
     dt = depth_mod.depth_tests.__wrapped__(pack, ctx.cams, gate_imgs, opt,
-                                           oc, on, os_, ov, m)
+                                           oc, on, os_, ov, m, full0=full0)
     vb = depth_mod.view_block_test.__wrapped__(pack, ctx.cams, gate_imgs,
-                                               opt, oc, on, os_, m, n_images)
+                                               opt, oc, on, os_, m, n_images,
+                                               full0=full0)
     pf = depth_mod.pixel_free_tests.__wrapped__(pack, ctx.cams, gate_imgs,
                                                 opt, oc, os_, ov)
     nv = jnp.sum(ov >= 0, axis=1)
@@ -1193,10 +1205,11 @@ def pack_gate_out(oc, on, os_, ov, ok, col):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("opt", "n_images", "with_gates"))
+                   static_argnames=("opt", "n_images", "with_gates",
+                                    "pack_layout"))
 def optimize_and_gate_packed(ctx: SceneCtx, pack, opt: Options,
                              n_images: int, xin, pend=None, gate_imgs=None,
-                             with_gates: bool = True):
+                             with_gates: bool = True, pack_layout=None):
     """optimize_and_gate over the packed row layout. Returns the packed
     output array, plus the updated depth buffer when a pend window was
     passed."""
@@ -1206,12 +1219,13 @@ def optimize_and_gate_packed(ctx: SceneCtx, pack, opt: Options,
         res = optimize_and_gate.__wrapped__(
             ctx, pack, opt, n_images, c, n, s, v, pc, w,
             pc_, ps_, pv_, pph_, gate_imgs=gate_imgs,
-            with_gates=with_gates)
+            with_gates=with_gates, pack_layout=pack_layout)
         return pack_gate_out(*res[:6]), res[6]
     res = optimize_and_gate.__wrapped__(ctx, pack, opt, n_images,
                                         c, n, s, v, pc, w,
                                         gate_imgs=gate_imgs,
-                                        with_gates=with_gates)
+                                        with_gates=with_gates,
+                                        pack_layout=pack_layout)
     return pack_gate_out(*res[:6])
 
 

@@ -176,7 +176,7 @@ def sharded_optimize_and_gate(mesh: Mesh, ctx: popt.SceneCtx, opt: Options,
 def sharded_optimize_and_gate_packed(mesh: Mesh, ctx: popt.SceneCtx,
                                      opt: Options,
                                      pack: depth_mod.DepthPack,
-                                     n_images: int):
+                                     n_images: int, pack_layout=None):
     """Packed-row twin of sharded_optimize_and_gate: ONE (B, 11+K) f32
     batch in / one out (+ replicated pend window and depth buffer) -- one
     transfer each way per dispatch instead of 6-10 (see
@@ -184,7 +184,8 @@ def sharded_optimize_and_gate_packed(mesh: Mesh, ctx: popt.SceneCtx,
     def body(xin, depth, pend):
         local = pack._replace(depth=depth)
         return popt.optimize_and_gate_packed.__wrapped__(
-            ctx, local, opt, n_images, xin, pend)
+            ctx, local, opt, n_images, xin, pend,
+            pack_layout=pack_layout)
 
     spec = P(("dp", "sp"))
     fn = shard_map(body, mesh=mesh, in_specs=(spec, P(), P()),

@@ -226,7 +226,7 @@ def _local_imgs(tex, texb, row0, w, h):
 def sharded_optimize_and_gate_subset(mesh: Mesh, ctx: popt.SceneCtx,
                                      opt: Options,
                                      pack: depth_mod.DepthPack,
-                                     n_images: int):
+                                     n_images: int, pack_layout=None):
     """sharded_optimize_and_gate twin with per-shard image slabs, over the
     packed row layout (one (B, 11+K) f32 batch in/out + replicated pend
     window, ops/optimizer.py packed-dispatch note). The geometric gates
@@ -237,7 +237,8 @@ def sharded_optimize_and_gate_subset(mesh: Mesh, ctx: popt.SceneCtx,
         local = pack._replace(depth=depth)
         lctx = ctx._replace(imgs=_local_imgs(tex, texb, row0, wd, ht))
         return popt.optimize_and_gate_packed.__wrapped__(
-            lctx, local, opt, n_images, xin, pend, gate_imgs=ctx.imgs)
+            lctx, local, opt, n_images, xin, pend, gate_imgs=ctx.imgs,
+            pack_layout=pack_layout)
 
     spec = P(("dp", "sp"))
     fn = shard_map(body, mesh=mesh,

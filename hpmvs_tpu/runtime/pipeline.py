@@ -42,7 +42,8 @@ def enable_compile_cache(path: str = None):
 
 def run(model: nvm_io.NvmModel, opt: Options, images=None,
         more_output: bool = False, light_output: int = 0,
-        snapshot_hook=None, max_prio: Optional[int] = None,
+        snapshot_hook=None, wave_hook=None,
+        max_prio: Optional[int] = None,
         bundle_adjust: bool = False, resume: Optional[str] = None,
         mesh="auto", spatial: bool = False,
         image_subsets: bool = False, ba_dense: bool = False,
@@ -112,6 +113,7 @@ def run(model: nvm_io.NvmModel, opt: Options, images=None,
     engine = cls(model, opt, images=images,
                  visdata_path=os.path.join(opt.OUTFOLDER, "testvis.dat"),
                  mesh=mesh, **kw)
+    engine.wave_hook = wave_hook
     if resume:
         from hpmvs_tpu.runtime import checkpoint as ckpt
         ckpt.load_checkpoint(engine, resume)

@@ -378,7 +378,7 @@ class SpatialEngine(Engine):
             self._subset_gate_fn, _ = \
                 subsets.sharded_optimize_and_gate_subset(
                     self.mesh, self.scene.ctx, self.opt, self.pack,
-                    self.scene.n_cameras)
+                    self.scene.n_cameras, pack_layout=self._pack_layout)
         bp = self._bpack_dev
         return self._subset_gate_fn(xin, self._dev_repl(self.pack.depth),
                                     self._dev_repl(pend),

@@ -89,6 +89,9 @@ class Engine:
         self._spec = None
         self.stats = defaultdict(int)
         self.on_patch_event: Optional[Callable] = None
+        # called as wave_hook(self) after every frontier generation
+        # (process_priority_step inner loop) -- time-budget snapshots
+        self.wave_hook: Optional[Callable] = None
         import jax
         # multi-controller SPMD: host scheduler state is replicated per
         # process; result fetches must allgather non-addressable shards
@@ -180,6 +183,17 @@ class Engine:
         # sharded closures capture scene/pack tables: rebuild after growth
         self._sharded_gate_fn = None
         self._flush_fn = None
+        # static per-level pack dims for the gather-free collapsed
+        # full-depth buffer (depth.collapse_full_depth): valid only when
+        # every camera shares them (uniform captures); None disables the
+        # fast path and the gates fall back to per-level pyramid gathers
+        pw = np.asarray(self.pack.width)
+        ph = np.asarray(self.pack.height)
+        if (pw == pw[:1]).all() and (ph == ph[:1]).all():
+            self._pack_layout = tuple(
+                (int(ph[0, l]), int(pw[0, l])) for l in range(pw.shape[1]))
+        else:
+            self._pack_layout = None
 
     # ------------------------------------------------------------------
     # plumbing: cell membership as head/next chains, batched queue pushes
@@ -504,7 +518,8 @@ class Engine:
             else:
                 out, depth = popt.optimize_and_gate_packed(
                     self.scene.ctx, self.pack, self.opt,
-                    self.scene.n_cameras, xin, p, with_gates=gates)
+                    self.scene.n_cameras, xin, p, with_gates=gates,
+                    pack_layout=self._pack_layout)
             self.pack = self.pack._replace(depth=depth)
         else:
             if self.mesh is not None:
@@ -512,7 +527,8 @@ class Engine:
             else:
                 out = popt.optimize_and_gate_packed(
                     self.scene.ctx, self.pack, self.opt,
-                    self.scene.n_cameras, xin, with_gates=gates)
+                    self.scene.n_cameras, xin, with_gates=gates,
+                    pack_layout=self._pack_layout)
         self.stats["dispatches"] += 1
         self.stats["disp_extend"] += 1
         return out
@@ -524,7 +540,7 @@ class Engine:
             from hpmvs_tpu.parallel import mesh as pmesh
             self._sharded_gate_fn, _ = pmesh.sharded_optimize_and_gate_packed(
                 self.mesh, self.scene.ctx, self.opt, self.pack,
-                self.scene.n_cameras)
+                self.scene.n_cameras, pack_layout=self._pack_layout)
         return self._sharded_gate_fn(xin, self._dev_repl(self.pack.depth),
                                      self._dev_repl(pend))
 
@@ -668,6 +684,11 @@ class Engine:
             self._process_cells(live, pmin)
             self.stats[f"t_phase{pmin % 10}"] += time.time() - t0
             self.stats["cells_processed"] += len(live)
+            # per-wave-generation callback (time-budget snapshots): each
+            # inner iteration drains one frontier generation, so this fires
+            # every few seconds even inside a minutes-long priority step
+            if self.wave_hook is not None:
+                self.wave_hook(self)
         return changed
 
     def _pop_live(self, pmin) -> np.ndarray:
@@ -919,7 +940,8 @@ class Engine:
             xin, jnp.asarray(np.asarray(self.tree.center, np.float32)),
             jnp.float32(self.tree.width),
             pend=None if pend is None else jnp.asarray(pend),
-            n_gens=int(self.opt.WAVE_DEPTH))
+            n_gens=int(self.opt.WAVE_DEPTH),
+            pack_layout=self._pack_layout)
         self.pack = self.pack._replace(depth=depth)
         self.stats["dispatches"] += 1
         self.stats["disp_deep"] += 1
