@@ -110,6 +110,31 @@ def expected_strings():
                    ta["normal_err_deg_median_inlier"]),
                 "tail normal err vs stress.json"))
 
+    # round-5 progressive head-to-head rows (README) vs bench/progressive.json
+    pg = _load("bench/progressive.json")
+    tpu, cpu = pg["tpu"], pg["cpu"]
+    out.append(("README.md",
+                "| run completes | %.1f s | **%.1f s** |"
+                % (cpu["wall_s"], tpu["wall_s"]),
+                "progressive completion walls vs progressive.json"))
+    gain = 100.0 * tpu["final"]["patches"] / cpu["final"]["patches"] - 100.0
+    out.append(("README.md",
+                "| final patches | {:,} | **{:,} (+{:.0f}%) ** |".format(
+                    cpu["final"]["patches"], tpu["final"]["patches"],
+                    gain).replace(") *", ")*"),
+                "progressive final patches vs progressive.json"))
+    out.append(("README.md",
+                "| final inlier @4·GSD | %.4f | **%.4f** |"
+                % (cpu["final"]["inlier_frac_4gsd"],
+                   tpu["final"]["inlier_frac_4gsd"]),
+                "progressive inlier vs progressive.json"))
+    out.append(("README.md",
+                "| patches @120 s budget | {:,} (snapshot landed at {:.1f} s)"
+                " | {:,} |".format(cpu["snapshots"][0]["patches"],
+                                   cpu["snapshots"][0]["elapsed_s"],
+                                   tpu["snapshots"][0]["patches"]),
+                "progressive 120s snapshot vs progressive.json"))
+
     # SCALING section-3 measured inputs vs bench/scaling_inputs.json
     si = _load("bench/scaling_inputs.json")
     d2048 = [r for r in si["dispatch"]["dispatch_curve"]

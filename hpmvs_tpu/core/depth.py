@@ -197,7 +197,10 @@ def collapse_full_depth(depth: jnp.ndarray, layout, ncam: int) -> jnp.ndarray:
     (lane, view, neighbor) instead of one per pyramid level: at 150
     cameras this is the difference between the gates dominating the fused
     dispatch ~6:1 and costing less than the optimizer
-    (bench/progressive.json ring leg: t_phase0 654 s of 760 s device)."""
+    (bench/progressive.json ring leg: t_phase0 654 s of 760 s device).
+    pool_full_depth below then folds the 9-neighbor reduction itself into
+    2 pooled gathers per (lane, image) -- measured 44 ms -> 20 ms for the
+    fused gates at 150 cams / B=2048 (bench/profile_gates.py)."""
     L = len(layout)
     h0, w0 = layout[0]
     S = sum(h * w for h, w in layout)
@@ -224,6 +227,71 @@ def collapse_full_depth(depth: jnp.ndarray, layout, ncam: int) -> jnp.ndarray:
             acc = jnp.minimum(acc, jnp.where(alive[None], up, MAX_DEPTH))
         pre += h * w
     return acc
+
+
+def pool_full_depth(full0: jnp.ndarray):
+    """2x2 forward-window pools of the collapsed full-depth buffer, the
+    second half of the gather-free gate path (valid for DEPTH_SUBSAMPLE=2,
+    the reference constant, Scene.h:74): the 3x3 full-resolution
+    neighborhood of Scene::depthTest (Scene.cpp:534-556) projects onto
+    EXACTLY the 2x2 subsampled cells {ix0//2, ix0//2+1} x {iy0//2, iy0//2+1}
+    for every alignment of ix0, so the 9 per-neighbor gathers collapse to
+    pooled per-cell reductions gathered ONCE per (lane, image):
+
+      pass(depth)  = all cells empty-or-within-band
+                   = nm_max < d+tol  AND  nm_min > d-tol
+      blocked(vb)  = no cell empty AND all beyond band
+                   = raw_max < MAX_DEPTH  AND  nm_min > d+tol
+
+    Returns (nm_min, nm_max, raw_max), each (ncam, h0, w0): min/max over
+    the window counting only non-empty cells (+/-inf when all empty), and
+    the raw max (>= MAX_DEPTH iff any cell is empty or out of range --
+    out-of-range subsampled cells behave as empty in the reference path,
+    reproduced by MAX_DEPTH edge padding)."""
+    v = jnp.pad(full0, ((0, 0), (0, 1), (0, 1)),
+                constant_values=MAX_DEPTH)
+    vm = jnp.where(v < MAX_DEPTH, v, jnp.inf)
+    vM = jnp.where(v < MAX_DEPTH, v, -jnp.inf)
+    h0, w0 = full0.shape[1], full0.shape[2]
+
+    def pool2(a, red):
+        b = red(a[:, :h0, :], a[:, 1:h0 + 1, :])
+        return red(b[:, :, :w0], b[:, :, 1:w0 + 1])
+
+    return (pool2(vm, jnp.minimum), pool2(vM, jnp.maximum),
+            pool2(v, jnp.maximum))
+
+
+def _depth_test_view_pooled(cams, imgs, opt: Options, centers, normals,
+                            scales, ci, margin, view_block: bool, pool3):
+    """Pooled-gather Scene::depthTest equivalent (see pool_full_depth):
+    level-0 projection, the all-9-neighbors reduction evaluated from one
+    2x2-pooled cell per (lane, image). Bitwise-equal to the 9-gather path
+    (tests/test_depth.py::test_pooled_gates_match_reference_path)."""
+    nm_min, nm_max, raw_max = pool3
+    imgC = cam_ops.mult(cams, ci, centers, jnp.zeros_like(ci))
+    d = imgC[..., 2]
+    ix0 = jnp.trunc(imgC[..., 0] / d + 0.5).astype(jnp.int32) - 1
+    iy0 = jnp.trunc(imgC[..., 1] / d + 0.5).astype(jnp.int32) - 1
+    w0 = imgs.width[ci, 0]
+    h0 = imgs.height[ci, 0]
+    allinb = ((d >= 0) & (ix0 >= 0) & (ix0 + 2 < w0)
+              & (iy0 >= 0) & (iy0 + 2 < h0))
+    xs = jnp.clip(ix0 // 2, 0, nm_min.shape[2] - 1)
+    ys = jnp.clip(iy0 // 2, 0, nm_min.shape[1] - 1)
+
+    ray = centers - cams.center[ci]
+    ray = ray / jnp.maximum(jnp.linalg.norm(ray, axis=-1, keepdims=True),
+                            1e-12)
+    factor = jnp.minimum(2.0, 2.0 + jnp.sum(ray * normals, axis=-1))
+    tol = scales * margin * factor * 2.0
+    if view_block:
+        res = (raw_max[ci, ys, xs] < MAX_DEPTH) \
+            & (nm_min[ci, ys, xs] > d + tol)
+    else:
+        res = (nm_max[ci, ys, xs] < d + tol) \
+            & (nm_min[ci, ys, xs] > d - tol)
+    return res & allinb
 
 
 def _depth_test_at(pack: DepthPack, cams, imgs, opt: Options, centers,
@@ -288,21 +356,26 @@ def _depth_test_view(pack, cams, imgs, opt: Options, centers, normals, scales,
 
 @functools.partial(jax.jit, static_argnames=("opt",))
 def depth_tests(pack: DepthPack, cams, imgs, opt: Options, centers, normals,
-                scales, views, margin, full0=None):
+                scales, views, margin, full0=None, pool3=None):
     """Scene::depthTests (Scene.cpp:518-524): #views passing the depth test."""
     ci = jnp.maximum(views, 0)
     B, K = views.shape
     cc = jnp.broadcast_to(centers[:, None, :], (B, K, 3))
     nn = jnp.broadcast_to(normals[:, None, :], (B, K, 3))
     ss = jnp.broadcast_to(scales[:, None], (B, K))
-    res = _depth_test_view(pack, cams, imgs, opt, cc, nn, ss, ci, margin,
-                           view_block=False, full0=full0)
+    if pool3 is not None:
+        res = _depth_test_view_pooled(cams, imgs, opt, cc, nn, ss, ci,
+                                      margin, view_block=False, pool3=pool3)
+    else:
+        res = _depth_test_view(pack, cams, imgs, opt, cc, nn, ss, ci, margin,
+                               view_block=False, full0=full0)
     return jnp.sum(res & (views >= 0), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "n_images"))
 def view_block_test(pack: DepthPack, cams, imgs, opt: Options, centers,
-                    normals, scales, margin, n_images: int, full0=None):
+                    normals, scales, margin, n_images: int, full0=None,
+                    pool3=None):
     """Scene::viewBlockTest (Scene.cpp:610-644): over ALL images, count views
     where the patch floats in front of a confirmed surface."""
     B = centers.shape[0]
@@ -321,8 +394,13 @@ def view_block_test(pack: DepthPack, cams, imgs, opt: Options, centers,
     vis = ((uvw[..., 0] >= 0) & (uvw[..., 0] <= w)
            & (uvw[..., 1] >= 0) & (uvw[..., 1] <= h))
 
-    blocked = _depth_test_view(pack, cams, imgs, opt, cc, nn, ss, ci, margin,
-                               view_block=True, full0=full0)
+    if pool3 is not None:
+        blocked = _depth_test_view_pooled(cams, imgs, opt, cc, nn, ss, ci,
+                                          margin, view_block=True,
+                                          pool3=pool3)
+    else:
+        blocked = _depth_test_view(pack, cams, imgs, opt, cc, nn, ss, ci,
+                                   margin, view_block=True, full0=full0)
     return jnp.sum(blocked & lvl_ok & vis, axis=-1)
 
 
@@ -332,10 +410,15 @@ def geom_gates(pack: DepthPack, cams, imgs, opt: Options, centers, normals,
     """Fused depthTests + viewBlockTest + pixelFreeTests in ONE device call
     (the wavefront engine runs these per candidate batch; separate dispatches
     would cost three host-device round trips)."""
+    pool3 = None
+    if full0 is not None and opt.DEPTH_SUBSAMPLE == 2:
+        pool3 = pool_full_depth(full0)
     dt = depth_tests.__wrapped__(pack, cams, imgs, opt, centers, normals,
-                                 scales, views, margin, full0=full0)
+                                 scales, views, margin, full0=full0,
+                                 pool3=pool3)
     vb = view_block_test.__wrapped__(pack, cams, imgs, opt, centers, normals,
-                                     scales, margin, n_images, full0=full0)
+                                     scales, margin, n_images, full0=full0,
+                                     pool3=pool3)
     pf = pixel_free_tests.__wrapped__(pack, cams, imgs, opt, centers, scales,
                                       views)
     return dt, vb, pf

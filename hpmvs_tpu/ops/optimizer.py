@@ -1138,14 +1138,23 @@ def optimize_and_gate(ctx: SceneCtx, pack, opt: Options, n_images: int,
     # n_levels -- the gates scale O(n_images) per lane (Scene.cpp:610-644)
     # and dominated the device time ~6:1 on 150-camera scenes without this
     full0 = None
+    pool3 = None
     if pack_layout is not None:
         full0 = depth_mod.collapse_full_depth(pack.depth, pack_layout,
                                               n_images)
+        if opt.DEPTH_SUBSAMPLE == 2:
+            # 2x2-pooled reduction of full0 (depth.pool_full_depth): the
+            # 3x3-neighborhood tests gather 2 pooled values per
+            # (lane, image) instead of 9 -- at 150 cameras viewBlockTest
+            # alone cost ~2x the optimizer without this
+            # (bench/profile_gates.py)
+            pool3 = depth_mod.pool_full_depth(full0)
     dt = depth_mod.depth_tests.__wrapped__(pack, ctx.cams, gate_imgs, opt,
-                                           oc, on, os_, ov, m, full0=full0)
+                                           oc, on, os_, ov, m, full0=full0,
+                                           pool3=pool3)
     vb = depth_mod.view_block_test.__wrapped__(pack, ctx.cams, gate_imgs,
                                                opt, oc, on, os_, m, n_images,
-                                               full0=full0)
+                                               full0=full0, pool3=pool3)
     pf = depth_mod.pixel_free_tests.__wrapped__(pack, ctx.cams, gate_imgs,
                                                 opt, oc, os_, ov)
     nv = jnp.sum(ov >= 0, axis=1)

@@ -184,3 +184,48 @@ def test_engine_defers_subtract_snapshot():
     assert (before < depth_mod.MAX_DEPTH).sum() > 0
     cleared = (before < depth_mod.MAX_DEPTH) & (after == depth_mod.MAX_DEPTH)
     assert cleared.sum() > 0
+
+
+def test_pooled_gates_match_reference_path(built):
+    """The 2x2-pooled gate path (depth.pool_full_depth +
+    _depth_test_view_pooled) is BITWISE equal to the per-neighbor gather
+    path for depth_tests AND view_block_test, across perturbed lanes that
+    mix pass/fail/edge/empty cases."""
+    scene, opt, pack, (c, n, s, v) = built
+    cams = scene.ctx.cams
+    imgs = scene.ctx.imgs
+    n_images = scene.n_cameras
+    B = min(64, len(c))
+    p = depth_mod.set_depths(pack, cams, jnp.asarray(c[:B]),
+                             jnp.asarray(s[:B]), jnp.asarray(v[:B]))
+
+    rng = np.random.default_rng(3)
+    # lanes: exact surface, depth-perturbed (both signs, several scales),
+    # far off-image, and behind-camera-ish extremes
+    offs = rng.normal(0, 1.0, (B, 3)).astype(np.float32) * \
+        np.asarray(s[:B])[:, None] * rng.choice(
+            [0.0, 0.5, 2.0, 8.0, 100.0], (B, 1)).astype(np.float32)
+    cc = jnp.asarray(c[:B] + offs)
+    nn = jnp.asarray(n[:B])
+    ss = jnp.asarray(s[:B] * rng.choice([0.5, 1.0, 2.0], B).astype(np.float32))
+    vv = jnp.asarray(v[:B])
+    m = jnp.float32(opt.DEPTH_TEST_FACTOR)
+
+    pw = np.asarray(p.width)
+    ph = np.asarray(p.height)
+    assert (pw == pw[:1]).all() and (ph == ph[:1]).all()
+    layout = tuple((int(ph[0, l]), int(pw[0, l])) for l in range(pw.shape[1]))
+    full0 = depth_mod.collapse_full_depth(p.depth, layout, n_images)
+    pool3 = depth_mod.pool_full_depth(full0)
+
+    for f0, p3 in ((None, None), (full0, None), (full0, pool3)):
+        dt = np.asarray(depth_mod.depth_tests(
+            p, cams, imgs, opt, cc, nn, ss, vv, m, full0=f0, pool3=p3))
+        vb = np.asarray(depth_mod.view_block_test(
+            p, cams, imgs, opt, cc, nn, ss, m, n_images, full0=f0, pool3=p3))
+        if f0 is None:
+            ref_dt, ref_vb = dt, vb
+            assert ref_dt.max() > 0  # the cases actually exercise passes
+        else:
+            np.testing.assert_array_equal(dt, ref_dt)
+            np.testing.assert_array_equal(vb, ref_vb)
