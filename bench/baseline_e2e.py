@@ -138,7 +138,12 @@ def main(argv=None):
 
     from bench import export_scene  # noqa: F401  (path side effect)
     scenes = ["plane", "facade"] if args.scene == "all" else [args.scene]
+    # merge-load: a --skip-cpu re-measure of the TPU leg must keep the
+    # committed CPU leg (and vice versa) instead of dropping it
     results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            results = json.load(fh)
     for name in scenes:
         sdir = os.path.join(args.base, name)
         if not os.path.exists(os.path.join(sdir, "scene.nvm")):
@@ -149,7 +154,8 @@ def main(argv=None):
         gt = json.load(open(os.path.join(sdir, "gt.json")))
         # tolerance: ~2x the seed noise / voxel size at mid depth
         tol = 0.02 * gt["extent"]
-        entry = {"gt": gt, "tolerance": tol}
+        entry = results.get(name, {})
+        entry.update({"gt": gt, "tolerance": tol})
         if not args.skip_cpu:
             cpu = run_cpu(sdir, args.minutes)
             cpu["quality"] = quality(read_ply_xyz(cpu["ply"]), gt, tol)

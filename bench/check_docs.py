@@ -114,8 +114,9 @@ def expected_strings():
     pg = _load("bench/progressive.json")
     tpu, cpu = pg["tpu"], pg["cpu"]
     out.append(("README.md",
-                "| run completes | %.1f s | **%.1f s** |"
-                % (cpu["wall_s"], tpu["wall_s"]),
+                "| run completes | %.1f s | **%.1f s (%.1fx)** |"
+                % (cpu["wall_s"], tpu["wall_s"],
+                   cpu["wall_s"] / tpu["wall_s"]),
                 "progressive completion walls vs progressive.json"))
     gain = 100.0 * tpu["final"]["patches"] / cpu["final"]["patches"] - 100.0
     out.append(("README.md",
@@ -130,9 +131,10 @@ def expected_strings():
                 "progressive inlier vs progressive.json"))
     out.append(("README.md",
                 "| patches @120 s budget | {:,} (snapshot landed at {:.1f} s)"
-                " | {:,} |".format(cpu["snapshots"][0]["patches"],
-                                   cpu["snapshots"][0]["elapsed_s"],
-                                   tpu["snapshots"][0]["patches"]),
+                " | **{:,} (already complete)** |".format(
+                    cpu["snapshots"][0]["patches"],
+                    cpu["snapshots"][0]["elapsed_s"],
+                    tpu["snapshots"][0]["patches"]),
                 "progressive 120s snapshot vs progressive.json"))
 
     # SCALING section-3 measured inputs vs bench/scaling_inputs.json
